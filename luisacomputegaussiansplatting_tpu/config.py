@@ -1,0 +1,84 @@
+"""Render configuration and pipeline constants.
+
+The numeric constants reproduce the reference renderer's behaviour
+(values documented in /root/reference, cited per field) so that images are
+comparable; everything else (capacities, padding) is TPU-static-shape design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Tile edge in pixels. One rasterizer grid step covers one TILE x TILE tile.
+# Reference: lcgs/include/lcgs/module.h:17 (block 16x16).
+TILE = 16
+
+# Gaussians processed per rasterizer chunk (sublane-dim of the blend matmul).
+CHUNK = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration of the splatting pipeline.
+
+    All fields are Python ints/floats (static under jit); changing any of
+    them triggers recompilation, mirroring how the reference bakes them into
+    its JIT-compiled shaders.
+    """
+
+    # --- image-independent pipeline constants (reference parity) ---
+    #: near-plane cull: gaussians with view-space z below this are dropped.
+    #: Reference: lcgs/src/gs_projector/shader.cpp:121.
+    near: float = 0.2
+    #: low-pass filter added to the 2D covariance diagonal.
+    #: Reference: lcgs/src/gs_tile_splatter/shader.cpp:139-140.
+    lowpass: float = 0.3
+    #: splat radius in standard deviations: radius = ceil(k * sqrt(lambda_max)).
+    #: Reference: gs_tile_splatter/shader.cpp:148 (k = 3).
+    radius_sigma: float = 3.0
+    #: alpha is clamped to at most this value.
+    #: Reference: gs_tile_splatter/shader.cpp:259.
+    alpha_max: float = 0.99
+    #: contributions with alpha below this are skipped.
+    #: Reference: gs_tile_splatter/shader.cpp:260 (1/255).
+    alpha_min: float = 1.0 / 255.0
+    #: blending stops once transmittance would drop below this.
+    #: Reference: gs_tile_splatter/shader.cpp:262 (1e-4).
+    transmittance_eps: float = 1e-4
+    #: frustum clamp factor for the EWA Jacobian linearisation point.
+    #: Reference: gs_projector/shader.cpp:150-151 (1.3 * tanfov).
+    frustum_clamp: float = 1.3
+    #: epsilon added to the homogeneous w before division.
+    #: Reference: gs_projector/shader.cpp:116 (1e-6).
+    w_eps: float = 1e-6
+    #: epsilon added to the 2D covariance determinant before inversion.
+    #: Reference: gs_tile_splatter/shader.cpp:143 (1e-6).
+    det_eps: float = 1e-6
+    #: znear / zfar of the projection matrix (only affects NDC z, unused by
+    #: the splatting math). Reference: lcgs/include/lcgs/util/camera.h:54.
+    znear: float = 0.1
+    zfar: float = 100.0
+
+    #: tile-rect clamp convention. "lcgs" clamps the *exclusive* max tile
+    #: index to grid-1 (reference lcgs/src/module.cpp:33-35, which never bins
+    #: into the last tile row/column); "inria" clamps to grid like the
+    #: original graphdeco CUDA rasterizer (the BASELINE.json validation
+    #: oracle), which is the default.
+    rect_mode: str = "inria"
+
+    # --- capacities (static shapes; TPU replacement for the reference's
+    # dynamic num_rendered readback, app/main.cpp:245 uses L = 20'000'000) ---
+    #: maximum number of (tile, depth) pairs before per-tile chunk padding.
+    max_pairs: int = 2_000_000
+
+    # --- kernel switches ---
+    #: use the Pallas rasterizer ("pallas") or the pure-jnp reference
+    #: rasterizer ("jnp", only viable for tiny scenes).
+    rasterizer: str = "pallas"
+    #: force Pallas interpret mode (automatic on non-TPU backends).
+    interpret: bool | None = None
+
+    def pairs_capacity(self, num_tiles: int) -> int:
+        """Total padded entry capacity: every tile's range is padded to a
+        multiple of CHUNK so rasterizer chunks never straddle tiles."""
+        return self.max_pairs + num_tiles * CHUNK

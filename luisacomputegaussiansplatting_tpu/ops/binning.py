@@ -1,0 +1,145 @@
+"""Tile binning: expand gaussians into (tile, depth)-sorted splat entries.
+
+TPU-native redesign of the reference's four-stage binning
+(lcgs/src/gs_tile_splatter/impl.cpp:87-156):
+
+  reference (GPU, 4 sync points + D2H readback)      this module (one jit)
+  ------------------------------------------------   -----------------------------
+  shad_allocate_tiles -> tiles_touched                counts from projection op
+  LCPP DeviceScan::InclusiveSum                       jnp.cumsum (XLA-native scan)
+  readback num_rendered, alloc L                      static capacity + overflow flag
+  shad_copy_with_keys (variable-fanout scatter)       scatter-heads + cummax expansion
+  LCPP DeviceRadixSort 64-bit (tile<<32|depth) keys   lax.sort, 2 lexicographic keys
+  shad_get_ranges (boundary detect)                   vectorised searchsorted
+
+The variable-fanout scatter (reference shader.cpp:55-67: each gaussian
+writes its rect's tiles at a dynamic offset) has no cheap TPU equivalent;
+instead each output *slot* computes its source gaussian: scatter gaussian
+ids at their start offsets, forward-fill with a cummax scan, then derive
+the within-rect tile from the slot's local index. Everything is static
+shape; entries beyond capacity are dropped and flagged (the reference
+silently corrupts memory past its L=20'000'000 cap, app/main.cpp:245).
+
+Finally, each tile's range is re-packed so it starts at a CHUNK-aligned
+offset: rasterizer chunks then never straddle tiles, which keeps the
+Pallas grid race-free under megacore partitioning and all DMA chunks full.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CHUNK
+from .projection import ProjectedGaussians
+
+
+class BinnedGaussians(NamedTuple):
+    """Splat entries sorted by (tile, depth), padded per tile to CHUNK.
+
+    Entry arrays have static length ``capacity``; ``entry_gid[i] == -1``
+    marks padding. ``tile_starts[t]`` is CHUNK-aligned and
+    ``tile_counts[t]`` is a multiple of CHUNK.
+    """
+
+    entry_gid: jnp.ndarray  # (capacity,) int32 gaussian index, -1 = pad
+    entry_tile: jnp.ndarray  # (capacity,) int32 owning tile, -1 = pad
+    tile_starts: jnp.ndarray  # (num_tiles,) int32
+    tile_counts: jnp.ndarray  # (num_tiles,) int32 (multiples of CHUNK)
+    num_rendered: jnp.ndarray  # () int32: true entry count (pre-padding)
+    overflow: jnp.ndarray  # () bool: true entry count exceeded max_pairs
+
+
+def _forward_fill_ids(starts, valid, capacity: int):
+    """slot -> source-row map: scatter row ids at their start offsets and
+    forward-fill with an inclusive cummax (rows with valid[i]=False are
+    dropped; their zero extent means no slot maps to them)."""
+    n = starts.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    scatter_idx = jnp.where(valid, starts, capacity)  # out-of-range = drop
+    heads = jnp.zeros((capacity,), jnp.int32)
+    heads = heads.at[scatter_idx].max(ids, mode="drop")
+    return jax.lax.cummax(heads)
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+) -> BinnedGaussians:
+    """Expand, sort and tile-pack splat entries.
+
+    Args:
+      proj: projection results (rects, counts, depths).
+      grid_x, grid_y: tile grid size.
+      max_pairs: static capacity for the expansion (reference L).
+
+    Returns:
+      BinnedGaussians with ``capacity = max_pairs + num_tiles * CHUNK``.
+    """
+    num_tiles = grid_x * grid_y
+    counts = proj.tiles_touched.astype(jnp.int32)  # (P,)
+    ends = jnp.cumsum(counts)
+    starts = ends - counts
+    total = ends[-1] if counts.shape[0] > 0 else jnp.int32(0)
+    overflow = total > max_pairs
+
+    # --- expansion: slot j -> (tile, depth, gaussian) -------------------
+    slot_gid = _forward_fill_ids(starts, proj.valid, max_pairs)  # (L,)
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    slot_valid = slot < jnp.minimum(total, max_pairs)
+
+    g_start = jnp.take(starts, slot_gid)
+    g_rect_min = jnp.take(proj.rect_min, slot_gid, axis=0)  # (L, 2)
+    g_rect_max = jnp.take(proj.rect_max, slot_gid, axis=0)
+    local = slot - g_start
+    rect_w = jnp.maximum(g_rect_max[:, 0] - g_rect_min[:, 0], 1)
+    # reference emission order: y outer, x inner (shader.cpp:55-67)
+    tile_x = g_rect_min[:, 0] + local % rect_w
+    tile_y = g_rect_min[:, 1] + local // rect_w
+    tile_id = tile_x + tile_y * grid_x
+    tile_id = jnp.where(slot_valid, tile_id, num_tiles)  # sentinel sorts last
+    depth = jnp.where(slot_valid, jnp.take(proj.depth, slot_gid), jnp.inf)
+    gid = jnp.where(slot_valid, slot_gid, -1)
+
+    # --- sort by (tile, depth); stable so depth ties keep gaussian order,
+    # matching the reference's stable LSD radix sort over packed
+    # (tile<<32)|float_bits(depth) keys (shader.cpp:59-62) ----------------
+    sorted_tile, _sorted_depth, sorted_gid = jax.lax.sort(
+        (tile_id, depth.astype(jnp.float32), gid), num_keys=2, is_stable=True
+    )
+
+    # --- per-tile ranges (reference shad_get_ranges, shader.cpp:71-100) --
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    range_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    range_end = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    tile_len = range_end - range_start
+
+    # --- CHUNK-pad each tile's range and re-gather ------------------------
+    capacity = max_pairs + num_tiles * CHUNK
+    padded_len = ((tile_len + CHUNK - 1) // CHUNK) * CHUNK
+    padded_end = jnp.cumsum(padded_len)
+    padded_start = padded_end - padded_len
+
+    slot2 = jnp.arange(capacity, dtype=jnp.int32)
+    slot_tile = _forward_fill_ids(padded_start, padded_len > 0, capacity)
+    t_start = jnp.take(padded_start, slot_tile)
+    t_len = jnp.take(tile_len, slot_tile)
+    t_src = jnp.take(range_start, slot_tile)
+    local2 = slot2 - t_start
+    in_range = (local2 < t_len) & (slot2 < padded_end[-1])
+    src = jnp.clip(t_src + local2, 0, max_pairs - 1)
+    entry_gid = jnp.where(in_range, jnp.take(sorted_gid, src), -1)
+    entry_tile = jnp.where(in_range, slot_tile, -1)
+
+    return BinnedGaussians(
+        entry_gid=entry_gid,
+        entry_tile=entry_tile,
+        tile_starts=padded_start.astype(jnp.int32),
+        tile_counts=padded_len.astype(jnp.int32),
+        num_rendered=jnp.minimum(total, max_pairs).astype(jnp.int32),
+        overflow=overflow,
+    )

@@ -1,0 +1,166 @@
+"""Gaussian preprocessing: world -> screen projection, conic, tile rects.
+
+TPU-native fusion of two reference kernels into one differentiable jnp
+stage (XLA fuses the whole thing into a handful of VPU loops):
+  * GSProjector forward (lcgs/src/gs_projector/shader.cpp:82-139, the
+    default focal variant): view/clip transform, near cull, Sigma_3D,
+    frustum-clamped EWA -> 2D covariance in pixel units.
+  * The analytic first half of shad_allocate_tiles
+    (lcgs/src/gs_tile_splatter/shader.cpp:102-163): low-pass, conic,
+    radius, NDC->pixel, tile rect and touched-tile count.
+
+Instead of the reference's in-place buffer overwrites (covs_2d becomes the
+conic, means_2d becomes pixel coords, shader.cpp:159-161) all results are
+returned as fresh functional outputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import TILE, RenderConfig
+from ..utils.camera import Camera, camera_matrices
+from ..utils.gaussian import (
+    clamp_to_frustum,
+    conic_and_radius,
+    covariance_3d,
+    ewa_project_cov,
+)
+from ..utils.transform import ndc2pix
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-gaussian screen-space quantities (all shape (N, ...))."""
+
+    means2d: jnp.ndarray  # (N, 2) pixel-space centres
+    depth: jnp.ndarray  # (N,) view-space z
+    conic: jnp.ndarray  # (N, 3) packed inverse 2D covariance (A, B, C)
+    radius: jnp.ndarray  # (N,) int32 splat radius in pixels (0 = culled)
+    rect_min: jnp.ndarray  # (N, 2) int32 inclusive tile-rect min (x, y)
+    rect_max: jnp.ndarray  # (N, 2) int32 exclusive tile-rect max (x, y)
+    tiles_touched: jnp.ndarray  # (N,) int32 number of tiles overlapped
+    valid: jnp.ndarray  # (N,) bool: survives near cull & touches tiles
+
+
+def tile_grid(width: int, height: int) -> tuple[int, int]:
+    """(grid_x, grid_y) tile counts for an image size."""
+    return (width + TILE - 1) // TILE, (height + TILE - 1) // TILE
+
+
+def _tile_rect(means2d, radius, grid_x: int, grid_y: int, mode: str):
+    """Tile rectangle [min, max) covered by a splat disc.
+
+    mode "lcgs" reproduces reference lcgs/src/module.cpp:29-35 (clamps the
+    exclusive max to grid-1, so the last tile row/column never receives
+    splats); mode "inria" clamps to grid like the graphdeco rasterizer.
+    """
+    r = radius.astype(jnp.float32)
+    lo_x = jnp.floor((means2d[..., 0] - r) / TILE).astype(jnp.int32)
+    lo_y = jnp.floor((means2d[..., 1] - r) / TILE).astype(jnp.int32)
+    hi_x = jnp.floor((means2d[..., 0] + r + TILE - 1) / TILE).astype(jnp.int32)
+    hi_y = jnp.floor((means2d[..., 1] + r + TILE - 1) / TILE).astype(jnp.int32)
+    if mode == "lcgs":
+        max_lo, max_hi = grid_x - 1, grid_x - 1
+        may_lo, may_hi = grid_y - 1, grid_y - 1
+    elif mode == "inria":
+        max_lo, max_hi = grid_x - 1, grid_x
+        may_lo, may_hi = grid_y - 1, grid_y
+    else:
+        raise ValueError(f"unknown rect_mode: {mode!r}")
+    rect_min = jnp.stack(
+        [jnp.clip(lo_x, 0, max_lo), jnp.clip(lo_y, 0, may_lo)], axis=-1
+    )
+    rect_max = jnp.stack(
+        [jnp.clip(hi_x, 0, max_hi), jnp.clip(hi_y, 0, may_hi)], axis=-1
+    )
+    return rect_min, rect_max
+
+
+def project_gaussians(
+    means3d,
+    scales,
+    quats_xyzw,
+    camera: Camera,
+    cfg: RenderConfig = RenderConfig(),
+    scale_modifier: float = 1.0,
+    ewa_mode: str = "inria",
+) -> ProjectedGaussians:
+    """Project gaussians into screen space and bin-precompute tile rects.
+
+    Args:
+      means3d: (N, 3) world centres.
+      scales: (N, 3) exp-activated scales.
+      quats_xyzw: (N, 4) unit quaternions (x, y, z, w).
+      camera: the Camera.
+      cfg: pipeline constants.
+      scale_modifier: global multiplier on scales
+        (reference gs_projector/shader.cpp:128).
+      ewa_mode: see utils.gaussian.ewa_project_cov.
+    """
+    view, _proj = camera_matrices(camera, cfg.znear, cfg.zfar)
+    view3 = view[:3, :3]
+
+    # elementwise world->view transform: keeps full f32 on the VPU (a tiny
+    # (N,3)x(3,3) matmul would hit the MXU's reduced default precision)
+    p_view = jnp.stack(
+        [
+            means3d[..., 0] * view3[i, 0]
+            + means3d[..., 1] * view3[i, 1]
+            + means3d[..., 2] * view3[i, 2]
+            + view[i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    depth = p_view[..., 2]
+    in_front = depth >= cfg.near
+
+    # NDC via the projection matrix: x_ndc = x /(tanfovx * z), with the
+    # reference's +1e-6 on w (gs_projector/shader.cpp:116).
+    safe_z = jnp.where(in_front, depth, 1.0)
+    inv_w = 1.0 / (safe_z + cfg.w_eps)
+    ndc_x = p_view[..., 0] / camera.tan_fovx * inv_w
+    ndc_y = p_view[..., 1] / camera.tan_fovy * inv_w
+    means2d = jnp.stack(
+        [
+            ndc2pix(ndc_x, camera.width),
+            ndc2pix(ndc_y, camera.height),
+        ],
+        axis=-1,
+    )
+
+    cov3d = covariance_3d(scales * scale_modifier, quats_xyzw)
+    t = clamp_to_frustum(
+        jnp.stack([p_view[..., 0], p_view[..., 1], safe_z], axis=-1),
+        camera.tan_fovx,
+        camera.tan_fovy,
+        cfg.frustum_clamp,
+    )
+    cov2d = ewa_project_cov(
+        cov3d, t, view3, camera.focal_x, camera.focal_y, ewa_mode
+    )
+    conic, radius = conic_and_radius(
+        cov2d, cfg.lowpass, cfg.radius_sigma, cfg.det_eps
+    )
+    radius = jnp.where(in_front, radius, 0)
+
+    grid_x, grid_y = tile_grid(camera.width, camera.height)
+    rect_min, rect_max = _tile_rect(means2d, radius, grid_x, grid_y, cfg.rect_mode)
+    tiles_touched = jnp.maximum(rect_max[..., 0] - rect_min[..., 0], 0) * jnp.maximum(
+        rect_max[..., 1] - rect_min[..., 1], 0
+    )
+    tiles_touched = jnp.where(radius > 0, tiles_touched, 0).astype(jnp.int32)
+    valid = tiles_touched > 0
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        depth=depth,
+        conic=conic,
+        radius=radius,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=tiles_touched,
+        valid=valid,
+    )

@@ -1,0 +1,152 @@
+"""End-to-end differentiable render: the whole frame as one jittable graph.
+
+Equivalent of the reference per-frame hot path (app/main.cpp:266-308 ->
+SHProcessor.process + GSProjector.forward + GSTileSplatter.forward) but with
+no host synchronisation at all: the reference performs 4 stream synchronises
+plus a device->host readback of num_rendered *per frame*
+(gs_tile_splatter/impl.cpp:100-146); here static capacities keep everything
+inside a single XLA program, and the backward pass (absent in the
+reference) falls out of jax.grad through the custom-vjp rasterizer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import TILE, RenderConfig
+from ..utils.camera import Camera
+from .binning import BinnedGaussians, bin_gaussians
+from .projection import ProjectedGaussians, project_gaussians, tile_grid
+from .rasterize_pallas import FIELDS, PIX, rasterize_tiles
+from .rasterize_ref import rasterize_reference
+from .sh_eval import compute_colors
+
+
+class RenderAux(NamedTuple):
+    """Side outputs of a render (diagnostics / densification statistics)."""
+
+    radii: jnp.ndarray  # (N,) int32 splat radius (0 = culled)
+    transmittance: jnp.ndarray  # (H, W) final per-pixel transmittance
+    num_rendered: jnp.ndarray  # () int32 expanded entry count
+    overflow: jnp.ndarray  # () bool capacity exceeded
+    means2d: jnp.ndarray  # (N, 2) pixel-space centres (for position grads)
+
+
+def build_payload(proj: ProjectedGaussians, colors, opacities, binned: BinnedGaussians):
+    """Gather per-entry payload rows (differentiable w.r.t. the inputs)."""
+    gid = binned.entry_gid
+    safe = jnp.maximum(gid, 0)
+    valid = (gid >= 0).astype(jnp.float32)
+    means = jnp.take(proj.means2d, safe, axis=0)
+    conic = jnp.take(proj.conic, safe, axis=0)
+    cols = jnp.take(colors, safe, axis=0)
+    op = jnp.take(opacities.reshape(-1), safe) * valid
+    pad = jnp.zeros((gid.shape[0], FIELDS - 9), jnp.float32)
+    return jnp.concatenate(
+        [means, conic, op[:, None], cols, pad], axis=1
+    ).astype(jnp.float32)
+
+
+def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int):
+    """(num_tiles, C, PIX) -> (C, H, W) crop."""
+
+    def reshape(x):
+        c = x.shape[1]
+        x = x.reshape(grid_y, grid_x, c, TILE, TILE)
+        x = x.transpose(2, 0, 3, 1, 4).reshape(c, grid_y * TILE, grid_x * TILE)
+        return x[:, :height, :width]
+
+    return reshape(color), reshape(trans)[0]
+
+
+def render_aux(
+    means3d,
+    scales,
+    quats_xyzw,
+    opacities,
+    sh_coeffs,
+    camera: Camera,
+    bg_color=(0.0, 0.0, 0.0),
+    cfg: RenderConfig = RenderConfig(),
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    ewa_mode: str = "inria",
+):
+    """Render a view; returns (image (3, H, W) in [0,1]-ish, RenderAux).
+
+    All gaussian inputs are the *activated* parameters:
+      means3d (N,3), scales (N,3) exp'd, quats_xyzw (N,4) normalised,
+      opacities (N,) sigmoided, sh_coeffs (N, K, 3).
+    Differentiable w.r.t. every gaussian input and bg_color.
+    """
+    colors = compute_colors(means3d, sh_coeffs, camera.position, sh_degree)
+    proj = project_gaussians(
+        means3d, scales, quats_xyzw, camera, cfg, scale_modifier, ewa_mode
+    )
+    grid_x, grid_y = tile_grid(camera.width, camera.height)
+    binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
+    payload = build_payload(proj, colors, opacities, binned)
+
+    if cfg.rasterizer == "pallas":
+        color, trans = rasterize_tiles(
+            payload,
+            binned.tile_starts,
+            binned.tile_counts,
+            grid_x,
+            camera.width,
+            camera.height,
+            cfg,
+        )
+    elif cfg.rasterizer == "jnp":
+        color, trans = rasterize_reference(
+            payload, binned, grid_x, camera.width, camera.height, cfg
+        )
+    else:
+        raise ValueError(f"unknown rasterizer: {cfg.rasterizer!r}")
+
+    img_c, img_t = _tiles_to_image(
+        color, trans, grid_x, grid_y, camera.width, camera.height
+    )
+    bg = jnp.asarray(bg_color, jnp.float32)
+    image = img_c + bg[:, None, None] * img_t[None, :, :]
+
+    aux = RenderAux(
+        radii=proj.radius,
+        transmittance=img_t,
+        num_rendered=binned.num_rendered,
+        overflow=binned.overflow,
+        means2d=proj.means2d,
+    )
+    return image, aux
+
+
+def render(
+    means3d,
+    scales,
+    quats_xyzw,
+    opacities,
+    sh_coeffs,
+    camera: Camera,
+    bg_color=(0.0, 0.0, 0.0),
+    cfg: RenderConfig = RenderConfig(),
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    ewa_mode: str = "inria",
+):
+    """Like render_aux but returns only the (3, H, W) image."""
+    image, _ = render_aux(
+        means3d,
+        scales,
+        quats_xyzw,
+        opacities,
+        sh_coeffs,
+        camera,
+        bg_color,
+        cfg,
+        sh_degree,
+        scale_modifier,
+        ewa_mode,
+    )
+    return image

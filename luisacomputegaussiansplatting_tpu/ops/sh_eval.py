@@ -1,0 +1,34 @@
+"""Per-gaussian view-dependent colour from SH coefficients.
+
+TPU-native equivalent of the reference SHProcessor kernel
+(lcgs/src/sh_preprocessor.cpp:159-166 dispatches one thread per gaussian;
+here the whole batch is one fused VPU-vectorised jnp expression that XLA
+fuses into the surrounding render graph). Fully differentiable — including
+the direction term the reference left TODO (lcgs/include/lcgs/util/sh.hpp).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.sh import eval_sh_color
+
+
+def compute_colors(means, sh_coeffs, cam_pos, degree: int = 3):
+    """RGB colour per gaussian.
+
+    Args:
+      means: (N, 3) gaussian centres (world space).
+      sh_coeffs: (N, K, 3) SH coefficients, K >= (degree+1)^2.
+      cam_pos: (3,) camera position.
+      degree: active SH degree (0..3).
+
+    Returns:
+      (N, 3) RGB in [0, 1]; dir = normalize(mean - cam_pos) per
+      reference sh_preprocessor.cpp:162-163.
+    """
+    cam_pos = jnp.asarray(cam_pos, means.dtype)
+    d = means - cam_pos
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = d / jnp.maximum(norm, 1e-12)
+    return eval_sh_color(sh_coeffs, dirs, degree)

@@ -1,0 +1,107 @@
+"""Binning (expand + sort + tile-pack) vs a naive python loop."""
+
+import numpy as np
+import pytest
+
+from luisacomputegaussiansplatting_tpu.config import CHUNK, RenderConfig
+from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+from luisacomputegaussiansplatting_tpu.ops.binning import bin_gaussians
+from luisacomputegaussiansplatting_tpu.ops.projection import (
+    project_gaussians,
+    tile_grid,
+)
+from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+
+def naive_tile_lists(proj, grid_x, grid_y):
+    """Per-tile gaussian lists ordered by (f32 depth, gaussian index)."""
+    tiles = {t: [] for t in range(grid_x * grid_y)}
+    n = proj.radius.shape[0]
+    rect_min = np.asarray(proj.rect_min)
+    rect_max = np.asarray(proj.rect_max)
+    depth = np.asarray(proj.depth, np.float32)
+    valid = np.asarray(proj.valid)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        for ty in range(rect_min[i, 1], rect_max[i, 1]):
+            for tx in range(rect_min[i, 0], rect_max[i, 0]):
+                tiles[tx + ty * grid_x].append(i)
+    for t in tiles:
+        tiles[t].sort(key=lambda i: (depth[i], i))
+    return tiles
+
+
+@pytest.fixture
+def setup():
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(96, seed=11)
+    cfg = RenderConfig(max_pairs=50_000)
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam, cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    binned = bin_gaussians(proj, gx, gy, cfg.max_pairs)
+    return proj, binned, gx, gy
+
+
+def test_entries_match_naive(setup):
+    proj, binned, gx, gy = setup
+    tiles = naive_tile_lists(proj, gx, gy)
+    total = sum(len(v) for v in tiles.values())
+    assert int(binned.num_rendered) == total
+    assert not bool(binned.overflow)
+
+    gid = np.asarray(binned.entry_gid)
+    starts = np.asarray(binned.tile_starts)
+    counts = np.asarray(binned.tile_counts)
+    for t in range(gx * gy):
+        want = tiles[t]
+        got = [g for g in gid[starts[t] : starts[t] + counts[t]] if g >= 0]
+        assert got == want, f"tile {t}"
+
+
+def test_chunk_alignment(setup):
+    _, binned, gx, gy = setup
+    starts = np.asarray(binned.tile_starts)
+    counts = np.asarray(binned.tile_counts)
+    assert np.all(starts % CHUNK == 0)
+    assert np.all(counts % CHUNK == 0)
+    # ranges must be disjoint and ordered
+    ends = starts + counts
+    assert np.all(starts[1:] >= ends[:-1])
+    # padding entries are flagged
+    gid = np.asarray(binned.entry_gid)
+    tile = np.asarray(binned.entry_tile)
+    assert np.all((gid >= 0) == (tile >= 0))
+    # every valid entry's tile matches its owning range
+    for t in range(gx * gy):
+        seg_tile = tile[starts[t] : ends[t]]
+        assert np.all(seg_tile[seg_tile >= 0] == t)
+
+
+def test_overflow_flag():
+    cam = look_at_camera((2.0, -2.0, 1.0), (0, 0, 0), (0, 0, 1),
+                         width=64, height=64)
+    scene = random_scene(128, seed=2, scale_range=(0.3, 0.8))
+    cfg = RenderConfig(max_pairs=256)
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam, cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    binned = bin_gaussians(proj, gx, gy, cfg.max_pairs)
+    assert bool(binned.overflow)
+    assert int(binned.num_rendered) == cfg.max_pairs
+
+
+def test_empty_scene():
+    cam = look_at_camera((0, 0, -5.0), (0, 0, 1), (0, 1, 0),
+                         width=32, height=32)
+    # all gaussians behind the camera
+    means = np.tile(np.array([[0, 0, -10.0]], np.float32), (8, 1))
+    scales = np.full((8, 3), 0.1, np.float32)
+    quats = np.tile(np.array([0, 0, 0, 1.0], np.float32), (8, 1))
+    cfg = RenderConfig(max_pairs=1024)
+    proj = project_gaussians(means, scales, quats, cam, cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    binned = bin_gaussians(proj, gx, gy, cfg.max_pairs)
+    assert int(binned.num_rendered) == 0
+    assert np.all(np.asarray(binned.tile_counts) == 0)
+    assert np.all(np.asarray(binned.entry_gid) == -1)
