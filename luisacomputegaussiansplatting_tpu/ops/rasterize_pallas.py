@@ -243,7 +243,7 @@ def rasterize_forward(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -421,10 +421,10 @@ def rasterize_backward(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, FIELDS), jnp.float32),
             pltpu.VMEM((2, CHUNK, FIELDS), jnp.float32),

@@ -66,7 +66,7 @@ def rasterize_reference(
     cs = jnp.cumsum(log1ma, axis=0)
     seg_start = jnp.take(binned.tile_starts, tile)
     base = jnp.where(
-        seg_start > 0,
+        (seg_start > 0)[:, None],
         jnp.take(cs, jnp.maximum(seg_start - 1, 0), axis=0),
         0.0,
     )

@@ -35,14 +35,22 @@ class RenderAux(NamedTuple):
 
 
 def build_payload(proj: ProjectedGaussians, colors, opacities, binned: BinnedGaussians):
-    """Gather per-entry payload rows (differentiable w.r.t. the inputs)."""
+    """Gather per-entry payload rows (differentiable w.r.t. the inputs).
+
+    Every field is masked with where() on the padding flag: where's VJP
+    *selects* (rather than scales) the cotangent, so the uninitialised
+    gradient rows the backward kernel leaves at padding slots are dropped
+    exactly instead of being scatter-added into gaussian 0.
+    """
     gid = binned.entry_gid
     safe = jnp.maximum(gid, 0)
-    valid = (gid >= 0).astype(jnp.float32)
-    means = jnp.take(proj.means2d, safe, axis=0)
-    conic = jnp.take(proj.conic, safe, axis=0)
-    cols = jnp.take(colors, safe, axis=0)
-    op = jnp.take(opacities.reshape(-1), safe) * valid
+    valid = gid >= 0
+    v1 = valid[:, None]
+
+    means = jnp.where(v1, jnp.take(proj.means2d, safe, axis=0), 0.0)
+    conic = jnp.where(v1, jnp.take(proj.conic, safe, axis=0), 0.0)
+    cols = jnp.where(v1, jnp.take(colors, safe, axis=0), 0.0)
+    op = jnp.where(valid, jnp.take(opacities.reshape(-1), safe), 0.0)
     pad = jnp.zeros((gid.shape[0], FIELDS - 9), jnp.float32)
     return jnp.concatenate(
         [means, conic, op[:, None], cols, pad], axis=1

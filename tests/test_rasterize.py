@@ -1,0 +1,145 @@
+"""Rasterizer tests: Pallas (interpret) vs jnp reference vs numpy oracle."""
+
+import numpy as np
+import pytest
+
+from luisacomputegaussiansplatting_tpu.config import RenderConfig
+from luisacomputegaussiansplatting_tpu.io.synthetic import (
+    create_cube_scene,
+    random_scene,
+)
+from luisacomputegaussiansplatting_tpu.ops.binning import bin_gaussians
+from luisacomputegaussiansplatting_tpu.ops.projection import (
+    project_gaussians,
+    tile_grid,
+)
+from luisacomputegaussiansplatting_tpu.ops.rasterize_pallas import (
+    rasterize_tiles,
+)
+from luisacomputegaussiansplatting_tpu.ops.rasterize_ref import (
+    rasterize_reference,
+)
+from luisacomputegaussiansplatting_tpu.ops.render import (
+    build_payload,
+    render,
+    render_aux,
+)
+from luisacomputegaussiansplatting_tpu.ops.sh_eval import compute_colors
+from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+from oracle import oracle_render
+
+
+def make_inputs(scene, cam, cfg):
+    colors = compute_colors(scene.means, scene.sh, cam.position, 3)
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam, cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    binned = bin_gaussians(proj, gx, gy, cfg.max_pairs)
+    payload = build_payload(proj, colors, scene.opacities, binned)
+    return payload, binned, gx, gy
+
+
+@pytest.fixture(scope="module")
+def small_case():
+    cam = look_at_camera((3.0, -2.5, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=64, height=48)
+    scene = random_scene(80, seed=7)
+    cfg = RenderConfig(max_pairs=20_000)
+    return scene, cam, cfg
+
+
+def test_pallas_matches_jnp_reference(small_case):
+    scene, cam, cfg = small_case
+    payload, binned, gx, gy = make_inputs(scene, cam, cfg)
+    color_p, trans_p = rasterize_tiles(
+        payload, binned.tile_starts, binned.tile_counts,
+        gx, cam.width, cam.height, cfg,
+    )
+    color_r, trans_r = rasterize_reference(
+        payload, binned, gx, cam.width, cam.height, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(color_p), np.asarray(color_r), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(trans_p), np.asarray(trans_r), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("bg", [(0, 0, 0), (0.3, 0.6, 0.9)])
+def test_render_matches_oracle(small_case, bg):
+    scene, cam, cfg = small_case
+    img, aux = render_aux(*scene.render_args(), cam, bg_color=bg, cfg=cfg)
+    want_img, want_t = oracle_render(scene, cam, bg=bg)
+    got = np.asarray(img)
+    assert got.shape == (3, cam.height, cam.width)
+    np.testing.assert_allclose(got, want_img, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(aux.transmittance), want_t, atol=5e-4
+    )
+
+
+def test_render_jnp_rasterizer_matches_oracle(small_case):
+    scene, cam, _ = small_case
+    cfg = RenderConfig(max_pairs=20_000, rasterizer="jnp")
+    img = render(*scene.render_args(), cam, cfg=cfg)
+    want_img, _ = oracle_render(scene, cam)
+    np.testing.assert_allclose(np.asarray(img), want_img, atol=5e-4)
+
+
+def test_cube_scene_renders_nonempty():
+    cam = look_at_camera((3.0, 3.0, 3.0), (0, 0, 0), (0, 0, 1),
+                         fov=60.0, width=64, height=64)
+    scene = create_cube_scene(nx=6)
+    cfg = RenderConfig(max_pairs=40_000)
+    img, aux = render_aux(*scene.render_args(), cam, cfg=cfg)
+    assert not bool(aux.overflow)
+    assert int(aux.num_rendered) > 0
+    got = np.asarray(img)
+    assert got.max() > 0.05
+    assert np.isfinite(got).all()
+    want, _ = oracle_render(scene, cam)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_saturated_early_termination():
+    """Opaque wall of gaussians: transmittance hits the 1e-4 stop."""
+    cam = look_at_camera((0, 0, -3.0), (0, 0, 0), (0, 1, 0),
+                         fov=60.0, width=32, height=32)
+    # note 0.85, not 0.99: with uniform alpha the post-blend transmittance
+    # steps hit exactly 1e-4 for alpha in {0.9, 0.99}, turning every pixel
+    # into a knife-edge threshold decision; 0.85 crosses cleanly.
+    scene = random_scene(600, seed=1, extent=0.5, scale_range=(0.2, 0.4))
+    scene = scene._replace(opacities=np.full((600,), 0.85, np.float32))
+    cfg = RenderConfig(max_pairs=200_000)
+    img, aux = render_aux(*scene.render_args(), cam, cfg=cfg)
+    t = np.asarray(aux.transmittance)
+    assert t.min() < 1e-3  # saturation reached
+    # vs oracle: the T < 1e-4 stop decision is threshold-sensitive — at
+    # alpha ~ 0.99 an f32-vs-f64 flip of one inclusion moves a pixel by up
+    # to T_before * alpha ~ 1e-2, so compare loosely here (exact-path
+    # parity is covered by the pallas-vs-jnp check below and the other
+    # oracle tests away from saturation).
+    want, want_t = oracle_render(scene, cam)
+    diff = np.abs(np.asarray(img) - want)
+    assert np.quantile(diff, 0.999) < 1e-3
+    assert diff.max() < 2e-2
+    # pallas vs jnp reference: same formulation, but the jnp version's
+    # *global* f32 cumsum accumulates rounding across all 200k entries
+    # (segment-difference trick), so the tolerance is looser than in the
+    # small-case test above.
+    cfg_jnp = RenderConfig(max_pairs=200_000, rasterizer="jnp")
+    img_jnp = render(*scene.render_args(), cam, cfg=cfg_jnp)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_jnp), atol=1e-3)
+
+
+def test_partial_edge_tiles():
+    """Non-multiple-of-16 image: edge pixels must match and not leak."""
+    cam = look_at_camera((2.5, -2.0, 1.5), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=50, height=38)
+    scene = random_scene(60, seed=9)
+    cfg = RenderConfig(max_pairs=20_000)
+    img = render(*scene.render_args(), cam, cfg=cfg)
+    want, _ = oracle_render(scene, cam)
+    assert np.asarray(img).shape == (3, 38, 50)
+    np.testing.assert_allclose(np.asarray(img), want, atol=5e-4)
