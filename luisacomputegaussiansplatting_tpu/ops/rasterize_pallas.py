@@ -10,11 +10,12 @@ Design (one grid step = one 16x16 tile, mirroring "block = tile"):
     (shader.cpp:213-246) and each pixel-thread blends them *sequentially*.
     TPUs have no per-pixel threads; instead each CHUNK=128 sorted entries
     are DMA'd HBM->VMEM (double buffered) and blended against all 256 tile
-    pixels at once as dense (128 gaussians x 256 pixels) VPU tiles.
+    pixels at once as dense (256 pixels x 128 gaussians) VPU tiles —
+    pixels along sublanes, gaussians along lanes.
   * The sequential dependence of front-to-back compositing
     (T *= 1-alpha) is restructured as a *cumulative log-transmittance*:
-      S[j, p] = sum_{k<=j} log(1 - alpha[k, p])
-    computed with one (128 x 128) lower-triangular ones matmul on the MXU,
+      S[p, j] = sum_{k<=j} log(1 - alpha[p, k])
+    computed with one (128 x 128) upper-triangular ones matmul on the MXU,
     so the only loop left is over chunks.
   * Blend-rule parity with the reference (shader.cpp:249-274): alpha =
     min(0.99, opacity * exp(power)), contributions skipped when power > 0
@@ -25,7 +26,7 @@ Design (one grid step = one 16x16 tile, mirroring "block = tile"):
     needed.
   * Early tile termination: the chunk loop exits once every pixel in the
     tile is saturated (the reference's per-pixel `done` flag, aggregated
-    per tile).
+    per tile), with the one speculative in-flight DMA drained on exit.
 
 The backward kernel replays the forward chunk loop and computes analytic
 gradients w.r.t. every payload field. The key identity that avoids a
@@ -40,11 +41,15 @@ front-to-back replay with a carried prefix accumulator yields
   dL/dalpha_j = T_before_j * b_j
                 - (suffix_wb_j + T_final * dL/dT_final) / (1 - alpha_j).
 
-Payload layout (SoA-of-chunks): (capacity, 16) float32 rows
-  [0] mean_x_px [1] mean_y_px [2] conic_a [3] conic_b [4] conic_c
-  [5] opacity (0 marks padding) [6] r [7] g [8] b [9..15] zero-pad.
-Entries are pre-sorted by (tile, depth) and every tile's range is
-CHUNK-aligned (see binning.py), so chunks never straddle tiles.
+Memory layout (all chosen for Mosaic's (sublane, 128-lane) tiling):
+  * payload: (FIELDS=16, capacity) float32, field-major. Rows:
+    [0] mean_x_px [1] mean_y_px [2] conic_a [3] conic_b [4] conic_c
+    [5] opacity (0 marks padding) [6] r [7] g [8] b [9..15] zero-pad.
+    Entries are pre-sorted by (tile, depth) and every tile's range start /
+    length is CHUNK-aligned (binning.py), so each DMA is a lane-aligned
+    (16, 128) slice and chunks never straddle tiles.
+  * tile outputs / residuals: (num_tiles, PIX=256, 8) — pixels along
+    sublanes, so kernel accumulators (PIX, 1) write out with no transpose.
 """
 
 from __future__ import annotations
@@ -60,10 +65,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import CHUNK, TILE, RenderConfig
 
 PIX = TILE * TILE  # pixels per tile
-FIELDS = 16  # payload row width
+FIELDS = 16  # payload column count
 
-# output row layout of the forward kernel, per tile: (8, PIX)
-_ROW_R, _ROW_G, _ROW_B, _ROW_T = 0, 1, 2, 3
+# column layout of the per-tile output: (PIX, 8)
+COL_R, COL_G, COL_B, COL_T = 0, 1, 2, 3
 
 
 def _should_interpret(cfg: RenderConfig) -> bool:
@@ -72,48 +77,48 @@ def _should_interpret(cfg: RenderConfig) -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _lower_triangular():
-    """(CHUNK, CHUNK) ones on and below the diagonal: LT @ x computes an
-    inclusive prefix sum over the gaussian axis on the MXU."""
+def _upper_triangular():
+    """(CHUNK, CHUNK) ones on and above the diagonal: x @ UT computes an
+    inclusive prefix sum over the gaussian (lane) axis on the MXU."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (cols <= rows).astype(jnp.float32)
+    return (rows <= cols).astype(jnp.float32)
 
 
 def _pixel_coords(tile_idx, grid_x: int, width: int, height: int):
-    """Global (x, y) pixel coordinates of a tile's PIX pixels, (1, PIX),
+    """Global (x, y) pixel coordinates of a tile's PIX pixels as (PIX, 1),
     plus the initial transmittance (1 in-image, 0 for pixels hanging past
     the image edge — the reference's `inside` predicate,
     gs_tile_splatter/shader.cpp:195-196, which also feeds tile early-out)."""
     tile_y = tile_idx // grid_x
     tile_x = tile_idx - tile_y * grid_x
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    ix = tile_x * TILE + lane % TILE
-    iy = tile_y * TILE + lane // TILE
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    ix = tile_x * TILE + p % TILE
+    iy = tile_y * TILE + p // TILE
     inside = (ix < width) & (iy < height)
     t0 = inside.astype(jnp.float32)
     return ix.astype(jnp.float32), iy.astype(jnp.float32), t0
 
 
-def _chunk_blend(buf, px, py, t_in, lt, cfg: RenderConfig):
+def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig):
     """Shared forward math for one chunk.
 
     Args:
-      buf: (CHUNK, FIELDS) payload slice in VMEM.
-      px, py: (1, PIX) pixel coordinates.
-      t_in: (1, PIX) incoming transmittance.
-      lt: (CHUNK, CHUNK) lower-triangular ones.
+      buf: (FIELDS, CHUNK) payload slice in VMEM.
+      px, py: (PIX, 1) pixel coordinates.
+      t_in: (PIX, 1) incoming transmittance.
+      ut: (CHUNK, CHUNK) upper-triangular ones.
 
-    Returns dict of (CHUNK, PIX) / (1, PIX) intermediates.
+    Returns dict of (PIX, CHUNK) / (PIX, 1) intermediates.
     """
-    mx = buf[:, 0:1]
-    my = buf[:, 1:2]
-    ca = buf[:, 2:3]
-    cb = buf[:, 3:4]
-    cc = buf[:, 4:5]
-    op = buf[:, 5:6]
+    mx = buf[0:1, :]  # (1, CHUNK)
+    my = buf[1:2, :]
+    ca = buf[2:3, :]
+    cb = buf[3:4, :]
+    cc = buf[4:5, :]
+    op = buf[5:6, :]
 
-    dx = mx - px  # (CHUNK, PIX)
+    dx = mx - px  # (PIX, CHUNK)
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g = jnp.exp(power)
@@ -125,15 +130,18 @@ def _chunk_blend(buf, px, py, t_in, lt, cfg: RenderConfig):
 
     log1ma = jnp.log1p(-alpha)
     s_inc = jax.lax.dot(
-        lt, log1ma, preferred_element_type=jnp.float32
-    )  # inclusive prefix over gaussians
+        log1ma,
+        ut,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # inclusive prefix over the gaussian axis
     t_after = t_in * jnp.exp(s_inc)
     t_before = t_in * jnp.exp(s_inc - log1ma)
     applied = (t_after >= cfg.transmittance_eps) & (alpha > 0.0)
     w = jnp.where(applied, t_before * alpha, 0.0)
     t_next = jnp.min(
         jnp.where(applied, t_after, jnp.broadcast_to(t_in, t_after.shape)),
-        axis=0,
+        axis=1,
         keepdims=True,
     )
     return dict(
@@ -172,12 +180,15 @@ def _forward_kernel(
     n_chunks = counts_ref[tile] // CHUNK
 
     px, py, t0 = _pixel_coords(tile, grid_x, width, height)
-    lt = _lower_triangular()
+    ut = _upper_triangular()
 
     def chunk_dma(c):
         slot = jax.lax.rem(c, 2)
+        # binning guarantees CHUNK-aligned tile starts; tell Mosaic so it
+        # can prove the lane-tiling divisibility of the slice offset
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            payload_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            payload_hbm.at[:, pl.ds(off, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -187,7 +198,7 @@ def _forward_kernel(
         chunk_dma(0).start()
 
     def cond(carry):
-        c, t_in, _cr, _cg, _cb, t_max = carry
+        c, _t, _cr, _cg, _cb, t_max = carry
         return (c < n_chunks) & (t_max >= cfg.transmittance_eps)
 
     def body(carry):
@@ -199,15 +210,15 @@ def _forward_kernel(
 
         chunk_dma(c).wait()
         cur = buf[jax.lax.rem(c, 2)]
-        f = _chunk_blend(cur, px, py, t_in, lt, cfg)
+        f = _chunk_blend(cur, px, py, t_in, ut, cfg)
         w = f["w"]
-        cr = cr + jnp.sum(w * cur[:, 6:7], axis=0, keepdims=True)
-        cg = cg + jnp.sum(w * cur[:, 7:8], axis=0, keepdims=True)
-        cb = cb + jnp.sum(w * cur[:, 8:9], axis=0, keepdims=True)
+        cr = cr + jnp.sum(w * cur[6:7, :], axis=1, keepdims=True)
+        cg = cg + jnp.sum(w * cur[7:8, :], axis=1, keepdims=True)
+        cb = cb + jnp.sum(w * cur[8:9, :], axis=1, keepdims=True)
         t_new = f["t_next"]
         return (c + 1, t_new, cr, cg, cb, jnp.max(t_new))
 
-    zeros = jnp.zeros((1, PIX), jnp.float32)
+    zeros = jnp.zeros((PIX, 1), jnp.float32)
     init = (jnp.int32(0), t0, zeros, zeros, zeros, jnp.float32(1.0))
     c_f, t_fin, cr, cg, cb, _ = jax.lax.while_loop(cond, body, init)
 
@@ -216,8 +227,8 @@ def _forward_kernel(
     def _():
         chunk_dma(c_f).wait()
 
-    pad = jnp.zeros((4, PIX), jnp.float32)
-    out_ref[0] = jnp.concatenate([cr, cg, cb, t_fin, pad], axis=0)
+    pad = jnp.zeros((PIX, 4), jnp.float32)
+    out_ref[0] = jnp.concatenate([cr, cg, cb, t_fin, pad], axis=1)
 
 
 def rasterize_forward(
@@ -232,12 +243,12 @@ def rasterize_forward(
     """Run the forward kernel.
 
     Args:
-      payload: (capacity, FIELDS) float32, CHUNK-aligned per tile.
+      payload: (FIELDS, capacity) float32, CHUNK-aligned per tile.
       tile_starts/tile_counts: (num_tiles,) int32.
       grid_x: tiles per row.
 
     Returns:
-      (num_tiles, 8, PIX) float32: rows [r, g, b, T, 0, 0, 0, 0].
+      (num_tiles, PIX, 8) float32: columns [r, g, b, T, 0, 0, 0, 0].
     """
     num_tiles = tile_starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -245,10 +256,10 @@ def rasterize_forward(
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, FIELDS), jnp.float32),
+            pltpu.VMEM((2, FIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -258,7 +269,7 @@ def rasterize_forward(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -287,39 +298,43 @@ def _backward_kernel(
     height: int,
     cfg: RenderConfig,
 ):
-    """res_ref rows per tile: [0:3] dL/dC, [3] dL/dT, [4:7] C_final, [7] T_final."""
+    """res_ref columns per tile: [0:3] dL/dC, [3] dL/dT, [4:7] C_final,
+    [7] T_final, each (PIX,)."""
     tile = pl.program_id(0)
     start = starts_ref[tile]
     n_chunks = counts_ref[tile] // CHUNK
 
     px, py, t0 = _pixel_coords(tile, grid_x, width, height)
-    lt = _lower_triangular()
+    ut = _upper_triangular()
 
-    g_r = res_ref[0, 0:1, :]
-    g_g = res_ref[0, 1:2, :]
-    g_b = res_ref[0, 2:3, :]
-    g_t = res_ref[0, 3:4, :]
-    c_fin = res_ref[0, 4:7, :]
-    t_fin = res_ref[0, 7:8, :]
+    res = res_ref[0]  # (PIX, 8)
+    g_r = res[:, 0:1]
+    g_g = res[:, 1:2]
+    g_b = res[:, 2:3]
+    g_t = res[:, 3:4]
+    c_fin_r = res[:, 4:5]
+    c_fin_g = res[:, 5:6]
+    c_fin_b = res[:, 6:7]
+    t_fin = res[:, 7:8]
     # total sum_k w_k b_k over the whole tile == dot(C_final, G) per pixel
-    cg_total = (
-        c_fin[0:1, :] * g_r + c_fin[1:2, :] * g_g + c_fin[2:3, :] * g_b
-    )
+    cg_total = c_fin_r * g_r + c_fin_g * g_g + c_fin_b * g_b
     tail = t_fin * g_t  # T_final * dL/dT_final
 
     def in_dma(c):
         slot = jax.lax.rem(c, 2)
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            payload_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            payload_hbm.at[:, pl.ds(off, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
 
     def out_dma(c):
         slot = jax.lax.rem(c, 2)
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            grads_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            grads_hbm.at[:, pl.ds(off, CHUNK)],
             out_sems.at[slot],
         )
 
@@ -328,7 +343,7 @@ def _backward_kernel(
         in_dma(0).start()
 
     def body(c, carry):
-        t_in, prefix = carry  # (1, PIX), (1, PIX)
+        t_in, prefix = carry  # (PIX, 1), (PIX, 1)
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -337,53 +352,52 @@ def _backward_kernel(
         in_dma(c).wait()
         slot = jax.lax.rem(c, 2)
         cur = buf[slot]
-        f = _chunk_blend(cur, px, py, t_in, lt, cfg)
+        f = _chunk_blend(cur, px, py, t_in, ut, cfg)
         alpha, w, applied = f["alpha"], f["w"], f["applied"]
         dx, dy, g = f["dx"], f["dy"], f["g"]
 
-        b = cur[:, 6:7] * g_r + cur[:, 7:8] * g_g + cur[:, 8:9] * g_b
+        b = cur[6:7, :] * g_r + cur[7:8, :] * g_g + cur[8:9, :] * g_b
         wb = w * b
         prefix_inc = prefix + jax.lax.dot(
-            lt, wb, preferred_element_type=jnp.float32
+            wb,
+            ut,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         suffix = cg_total - prefix_inc
-        d_alpha = jnp.where(
-            applied,
-            f["t_before"] * b - (suffix + tail) / (1.0 - alpha),
-            0.0,
-        )
+        d_alpha = f["t_before"] * b - (suffix + tail) / (1.0 - alpha)
         # alpha = min(alpha_max, opacity * g): zero grad where clamped
         live = applied & jnp.logical_not(f["clamped"])
         d_alpha = jnp.where(live, d_alpha, 0.0)
         d_pow = d_alpha * alpha  # d(alpha)/d(power) = opacity * g = alpha
 
-        d_op = jnp.sum(d_alpha * g, axis=1, keepdims=True)  # (CHUNK, 1)
-        ca, cb_, cc = cur[:, 2:3], cur[:, 3:4], cur[:, 4:5]
-        d_mx = jnp.sum(d_pow * -(ca * dx + cb_ * dy), axis=1, keepdims=True)
-        d_my = jnp.sum(d_pow * -(cc * dy + cb_ * dx), axis=1, keepdims=True)
-        d_ca = jnp.sum(d_pow * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(d_pow * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(d_pow * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_r = jnp.sum(w * g_r, axis=1, keepdims=True)
-        d_g = jnp.sum(w * g_g, axis=1, keepdims=True)
-        d_b = jnp.sum(w * g_b, axis=1, keepdims=True)
+        ca, cb_, cc = cur[2:3, :], cur[3:4, :], cur[4:5, :]
+        d_mx = jnp.sum(d_pow * -(ca * dx + cb_ * dy), axis=0, keepdims=True)
+        d_my = jnp.sum(d_pow * -(cc * dy + cb_ * dx), axis=0, keepdims=True)
+        d_ca = jnp.sum(d_pow * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(d_pow * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(d_pow * (-0.5 * dy * dy), axis=0, keepdims=True)
+        d_op = jnp.sum(d_alpha * g, axis=0, keepdims=True)
+        d_r = jnp.sum(w * g_r, axis=0, keepdims=True)
+        d_g = jnp.sum(w * g_g, axis=0, keepdims=True)
+        d_b = jnp.sum(w * g_b, axis=0, keepdims=True)
 
         # wait for the slot's previous output DMA before overwriting
         @pl.when(c >= 2)
         def _():
             out_dma(c - 2).wait()
 
-        pad = jnp.zeros((CHUNK, FIELDS - 9), jnp.float32)
+        pad = jnp.zeros((FIELDS - 9, CHUNK), jnp.float32)
         gbuf[slot] = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, pad], axis=1
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, pad], axis=0
         )
         out_dma(c).start()
 
         t_new = f["t_next"]
-        prefix_new = prefix + jnp.sum(wb, axis=0, keepdims=True)
+        prefix_new = prefix + jnp.sum(wb, axis=1, keepdims=True)
         return (t_new, prefix_new)
 
-    init = (t0, jnp.zeros((1, PIX), jnp.float32))
+    init = (t0, jnp.zeros((PIX, 1), jnp.float32))
     jax.lax.fori_loop(0, n_chunks, body, init)
 
     # drain trailing output DMAs
@@ -409,11 +423,11 @@ def rasterize_backward(
     """Run the backward kernel.
 
     Args:
-      residual: (num_tiles, 8, PIX): rows [dC rgb, dT, C_final rgb, T_final].
+      residual: (num_tiles, PIX, 8): columns [dC rgb, dT, C_final rgb, T_final].
 
     Returns:
-      (capacity, FIELDS) float32 per-entry gradients (payload layout);
-      rows of padding entries are unwritten garbage — callers must drop
+      (FIELDS, capacity) float32 per-entry gradients (payload layout);
+      columns of padding entries are unwritten garbage — callers must drop
       entries with gid < 0 (binning guarantees they receive no gradient).
     """
     num_tiles = tile_starts.shape[0]
@@ -422,12 +436,14 @@ def rasterize_backward(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, FIELDS), jnp.float32),
-            pltpu.VMEM((2, CHUNK, FIELDS), jnp.float32),
+            pltpu.VMEM((2, FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -463,27 +479,27 @@ def rasterize_tiles(
 ):
     """Differentiable tile rasterization.
 
-    Returns (color (num_tiles, 3, PIX), transmittance (num_tiles, 1, PIX)).
+    Returns (color (num_tiles, PIX, 3), transmittance (num_tiles, PIX, 1)).
     Gradients flow to ``payload`` only (binning indices are structural).
     """
     out = rasterize_forward(
         payload, tile_starts, tile_counts, grid_x, width, height, cfg
     )
-    return out[:, 0:3, :], out[:, 3:4, :]
+    return out[:, :, 0:3], out[:, :, 3:4]
 
 
 def _rasterize_fwd(payload, tile_starts, tile_counts, grid_x, width, height, cfg):
     out = rasterize_forward(
         payload, tile_starts, tile_counts, grid_x, width, height, cfg
     )
-    color, trans = out[:, 0:3, :], out[:, 3:4, :]
+    color, trans = out[:, :, 0:3], out[:, :, 3:4]
     return (color, trans), (payload, tile_starts, tile_counts, color, trans)
 
 
 def _rasterize_bwd(grid_x, width, height, cfg, res, cotangents):
     payload, tile_starts, tile_counts, color, trans = res
     d_color, d_trans = cotangents
-    residual = jnp.concatenate([d_color, d_trans, color, trans], axis=1)
+    residual = jnp.concatenate([d_color, d_trans, color, trans], axis=2)
     d_payload = rasterize_backward(
         payload, tile_starts, tile_counts, residual, grid_x, width, height, cfg
     )

@@ -30,13 +30,14 @@ def rasterize_reference(
     height: int,
     cfg: RenderConfig,
 ):
-    """Returns (color (num_tiles, 3, PIX), transmittance (num_tiles, 1, PIX)).
+    """Returns (color (num_tiles, PIX, 3), transmittance (num_tiles, PIX, 1)).
 
     Args:
-      payload: (capacity, 16) float32 in the rasterize_pallas layout.
+      payload: (16, capacity) float32 in the rasterize_pallas field-major
+        layout.
       binned: binning result (entry_tile gives each entry's owning tile).
     """
-    capacity = payload.shape[0]
+    capacity = payload.shape[1]
     num_tiles = binned.tile_starts.shape[0]
     tile = jnp.clip(binned.entry_tile, 0, num_tiles - 1)
 
@@ -50,9 +51,9 @@ def rasterize_reference(
     px = ix.astype(jnp.float32)
     py = iy.astype(jnp.float32)
 
-    mx, my = payload[:, 0:1], payload[:, 1:2]
-    ca, cb, cc = payload[:, 2:3], payload[:, 3:4], payload[:, 4:5]
-    op = payload[:, 5:6]
+    mx, my = payload[0, :, None], payload[1, :, None]
+    ca, cb, cc = payload[2, :, None], payload[3, :, None], payload[4, :, None]
+    op = payload[5, :, None]
 
     dx = mx - px
     dy = my - py
@@ -78,10 +79,10 @@ def rasterize_reference(
 
     # accumulate per tile
     seg = tile
-    color = jnp.zeros((num_tiles, 3, PIX), jnp.float32)
+    color = jnp.zeros((num_tiles, PIX, 3), jnp.float32)
     for c, field in enumerate((6, 7, 8)):
-        contrib = w * payload[:, field : field + 1]
-        color = color.at[:, c, :].add(
+        contrib = w * payload[field, :, None]
+        color = color.at[:, :, c].add(
             jax.ops.segment_sum(contrib, seg, num_segments=num_tiles)
         )
     t_fin = jnp.ones((num_tiles, PIX), jnp.float32)
@@ -93,4 +94,4 @@ def rasterize_reference(
     t_iy = (tiles // grid_x)[:, None] * TILE + lane // TILE
     t0 = ((t_ix < width) & (t_iy < height)).astype(jnp.float32)
     t_fin = t_fin * t0
-    return color, t_fin[:, None, :]
+    return color, t_fin[:, :, None]

@@ -35,35 +35,44 @@ class RenderAux(NamedTuple):
 
 
 def build_payload(proj: ProjectedGaussians, colors, opacities, binned: BinnedGaussians):
-    """Gather per-entry payload rows (differentiable w.r.t. the inputs).
+    """Gather the (FIELDS, capacity) field-major payload (differentiable).
 
     Every field is masked with where() on the padding flag: where's VJP
     *selects* (rather than scales) the cotangent, so the uninitialised
-    gradient rows the backward kernel leaves at padding slots are dropped
-    exactly instead of being scatter-added into gaussian 0.
+    gradient columns the backward kernel leaves at padding slots are
+    dropped exactly instead of being scatter-added into gaussian 0.
     """
     gid = binned.entry_gid
     safe = jnp.maximum(gid, 0)
     valid = gid >= 0
-    v1 = valid[:, None]
 
-    means = jnp.where(v1, jnp.take(proj.means2d, safe, axis=0), 0.0)
-    conic = jnp.where(v1, jnp.take(proj.conic, safe, axis=0), 0.0)
-    cols = jnp.where(v1, jnp.take(colors, safe, axis=0), 0.0)
-    op = jnp.where(valid, jnp.take(opacities.reshape(-1), safe), 0.0)
-    pad = jnp.zeros((gid.shape[0], FIELDS - 9), jnp.float32)
+    def field(src):
+        return jnp.where(valid, jnp.take(src, safe), 0.0)
+
+    rows = [
+        field(proj.means2d[:, 0]),
+        field(proj.means2d[:, 1]),
+        field(proj.conic[:, 0]),
+        field(proj.conic[:, 1]),
+        field(proj.conic[:, 2]),
+        field(opacities.reshape(-1)),
+        field(colors[:, 0]),
+        field(colors[:, 1]),
+        field(colors[:, 2]),
+    ]
+    pad = jnp.zeros((FIELDS - len(rows), gid.shape[0]), jnp.float32)
     return jnp.concatenate(
-        [means, conic, op[:, None], cols, pad], axis=1
+        [jnp.stack(rows, axis=0), pad], axis=0
     ).astype(jnp.float32)
 
 
 def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int):
-    """(num_tiles, C, PIX) -> (C, H, W) crop."""
+    """(num_tiles, PIX, C) -> (C, H, W) crop."""
 
     def reshape(x):
-        c = x.shape[1]
-        x = x.reshape(grid_y, grid_x, c, TILE, TILE)
-        x = x.transpose(2, 0, 3, 1, 4).reshape(c, grid_y * TILE, grid_x * TILE)
+        c = x.shape[2]
+        x = x.reshape(grid_y, grid_x, TILE, TILE, c)
+        x = x.transpose(4, 0, 2, 1, 3).reshape(c, grid_y * TILE, grid_x * TILE)
         return x[:, :height, :width]
 
     return reshape(color), reshape(trans)[0]
