@@ -1,0 +1,83 @@
+"""Benchmark harness: the BASELINE.json north-star metric.
+
+Measures pixels/s/chip for forward+backward at 1080p on a ~bicycle-scale
+synthetic scene (the reference's released .ply scenes are not available in
+this environment; the synthetic scene is tuned to a comparable workload:
+millions of gaussians, tens of millions of sorted (tile, depth) pairs).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+measured against our own round-1 figure recorded below — i.e. round 1
+defines 1.0 and later rounds must beat it.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Round-1 recorded figure (pixels/s/chip, fwd+bwd, this exact config).
+# Updated whenever the benchmark config changes; see BASELINE.md.
+ROUND1_BASELINE = None  # set after first real-TPU measurement
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from luisacomputegaussiansplatting_tpu.config import RenderConfig
+    from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+    from luisacomputegaussiansplatting_tpu.ops.render import render
+    from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+    width, height = 1920, 1080
+    n_gaussians = 2_000_000
+    cfg = RenderConfig(max_pairs=12_000_000)
+
+    cam = look_at_camera(
+        (3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
+        fov=65.0, width=width, height=height,
+    )
+    scene = random_scene(
+        n_gaussians, seed=0, extent=3.0, scale_range=(0.004, 0.02)
+    )
+    args = scene.render_args()
+
+    def loss(*a):
+        return jnp.sum(render(*a, cam, cfg=cfg))
+
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    # compile + warmup
+    out = step(*args)
+    jax.block_until_ready(out)
+
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    pixels_per_s = width * height / dt
+    vs = pixels_per_s / ROUND1_BASELINE if ROUND1_BASELINE else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "pixels_per_s_per_chip_fwd_bwd_1080p",
+                "value": round(pixels_per_s, 1),
+                "unit": "pixels/s/chip",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Render CLI — the TPU-native counterpart of the reference app
+(app/main.cpp:35-343), flag-for-flag where it makes sense:
+
+    python -m luisacomputegaussiansplatting_tpu.apps.render_cli \
+        --ply scene.ply --res 1600x1063 --out out --world colmap --exp_N 10
+
+  reference flag        here                      notes
+  --------------------  ------------------------  ---------------------------
+  --res WxH             --res WxH                 default 1600x1063 (main.cpp:38)
+  --ply PATH            --ply PATH                or --synthetic N
+  --backend dx|cuda|..  (jax picks tpu/cpu)       --platform to force
+  --out DIR             --out DIR                 writes <ply>_<platform>.png
+  --world colmap|blend  --world colmap|blender    world-up choice (main.cpp:199)
+  --exp_N N             --exp_N N                 frames for FPS timing
+  --display             (no ImGui on TPU hosts)   --camera flags instead
+
+Camera defaults are the reference's hard-coded garden pose
+(main.cpp:191-197); override with --cam-pos/--cam-target/--fov.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_vec3(s: str):
+    v = [float(x) for x in s.replace(",", " ").split()]
+    if len(v) != 3:
+        raise argparse.ArgumentTypeError(f"expected 3 floats, got {s!r}")
+    return tuple(v)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--ply", type=str, default=None, help="3DGS .ply scene")
+    p.add_argument(
+        "--synthetic",
+        type=int,
+        default=None,
+        help="render a synthetic random scene with N gaussians instead",
+    )
+    p.add_argument("--res", type=str, default="1600x1063", help="WxH")
+    p.add_argument("--out", type=str, default="out")
+    p.add_argument("--world", choices=["colmap", "blender"], default="colmap")
+    p.add_argument("--exp_N", type=int, default=1, help="timed repetitions")
+    p.add_argument("--platform", type=str, default=None, help="jax platform override")
+    p.add_argument("--cam-pos", type=parse_vec3, default=(-3.0, -0.5, 3.3))
+    p.add_argument("--cam-target", type=parse_vec3, default=(0.0, 3.0, 0.5))
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--bg", type=parse_vec3, default=(0.0, 0.0, 0.0))
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--max-pairs", type=int, default=8_000_000)
+    p.add_argument("--shard", action="store_true",
+                   help="shard gaussians+tiles over all devices")
+    p.add_argument("--ewa", choices=["inria", "lcgs"], default="inria")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import RenderConfig
+    from ..io.ply import load_ply
+    from ..io.synthetic import random_scene
+    from ..ops.render import render_aux
+    from ..parallel.mesh import make_mesh
+    from ..parallel.render_sharded import render_sharded
+    from ..utils.camera import look_at_camera
+    from ..utils.image import write_png
+
+    w, h = (int(x) for x in args.res.split("x"))
+
+    if args.ply:
+        scene = load_ply(args.ply)
+        name = os.path.splitext(os.path.basename(args.ply))[0]
+    elif args.synthetic:
+        scene = random_scene(args.synthetic, seed=0)
+        name = f"synthetic{args.synthetic}"
+    else:
+        print("error: --ply or --synthetic required", file=sys.stderr)
+        return 2
+
+    # world-up convention (reference main.cpp:193-202)
+    world_up = (0.0, -1.0, -1.0) if args.world == "colmap" else (0.0, 0.0, 1.0)
+    cam = look_at_camera(
+        args.cam_pos, args.cam_target, world_up, fov=args.fov, width=w, height=h
+    )
+    cfg = RenderConfig(max_pairs=args.max_pairs)
+    print(f"num_gaussians: {scene.num_gaussians}")
+    print(f"rendering {w}x{h} on {jax.default_backend()} ({len(jax.devices())} device(s))")
+
+    if args.shard and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        ndev = len(jax.devices())
+        pad = -scene.num_gaussians % ndev
+        if pad:
+            scene = scene.pad_to(scene.num_gaussians + pad)
+        fn = jax.jit(
+            lambda *a: render_sharded(
+                *a, cam, mesh, bg_color=args.bg, cfg=cfg, sh_degree=args.sh_degree
+            )
+        )
+    else:
+        fn = jax.jit(
+            lambda *a: render_aux(
+                *a, cam, bg_color=args.bg, cfg=cfg, sh_degree=args.sh_degree,
+                ewa_mode=args.ewa,
+            )
+        )
+
+    img, aux = fn(*scene.render_args())
+    img.block_until_ready()  # compile + first frame
+
+    t0 = time.perf_counter()
+    for _ in range(args.exp_N):
+        img, aux = fn(*scene.render_args())
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_rendered = int(aux.num_rendered)
+    print(f"num_rendered: {n_rendered}")
+    if bool(np.asarray(aux.overflow)):
+        print("WARNING: pair capacity overflow — raise --max-pairs", file=sys.stderr)
+    fps = args.exp_N / dt if dt > 0 else float("inf")
+    print(f"exp time: {dt * 1000:.2f} ms  fps: {fps:.2f} (N={args.exp_N})")
+    print(f"pixels/s: {w * h * fps:.3e}")
+
+    os.makedirs(args.out, exist_ok=True)
+    out_path = os.path.join(args.out, f"{name}_{jax.default_backend()}.png")
+    write_png(out_path, np.asarray(img))
+    print(f"result saved in {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Single-chip 3DGS training step (the capability the reference lacks:
+doc/roadmap.md lists "Support Training" as unchecked future work).
+
+Follows the graphdeco recipe: Adam with per-parameter-group learning
+rates, photometric (1-w)*L1 + w*D-SSIM loss, activations applied inside
+the jitted step (raw params are the optimised pytree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import RenderConfig
+from ..ops.render import render_view
+from ..utils.camera import CameraView
+from .gaussians import GaussianParams
+from .losses import d_ssim_l1_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Learning rates per parameter group (graphdeco defaults)."""
+
+    lr_means: float = 1.6e-4
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacity: float = 5e-2
+    lr_sh_dc: float = 2.5e-3
+    lr_sh_rest: float = 2.5e-3 / 20.0
+    ssim_weight: float = 0.2
+    adam_eps: float = 1e-15
+
+
+def make_optimizer(tc: TrainConfig = TrainConfig()) -> optax.GradientTransformation:
+    """Per-group Adam, matching 3DGS's per-tensor learning rates."""
+
+    def adam(lr):
+        return optax.adam(lr, eps=tc.adam_eps)
+
+    labels = GaussianParams(
+        means="means",
+        log_scales="scales",
+        quats="quats",
+        opacity_logits="opacity",
+        sh_dc="sh_dc",
+        sh_rest="sh_rest",
+    )
+    return optax.multi_transform(
+        {
+            "means": adam(tc.lr_means),
+            "scales": adam(tc.lr_scales),
+            "quats": adam(tc.lr_quats),
+            "opacity": adam(tc.lr_opacity),
+            "sh_dc": adam(tc.lr_sh_dc),
+            "sh_rest": adam(tc.lr_sh_rest),
+        },
+        labels,
+    )
+
+
+class TrainState(NamedTuple):
+    params: GaussianParams
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def init_train_state(params: GaussianParams, tc: TrainConfig = TrainConfig()):
+    opt = make_optimizer(tc)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.int32(0)), opt
+
+
+def photometric_loss(
+    params: GaussianParams,
+    cam_view: CameraView,
+    target,  # (3, H, W)
+    width: int,
+    height: int,
+    bg_color,
+    cfg: RenderConfig,
+    sh_degree: int,
+    ssim_weight: float,
+):
+    scene = params.activate()
+    img, aux = render_view(
+        scene.means,
+        scene.scales,
+        scene.quats,
+        scene.opacities,
+        scene.sh,
+        cam_view,
+        width,
+        height,
+        bg_color,
+        cfg,
+        sh_degree,
+    )
+    return d_ssim_l1_loss(img, target, ssim_weight), (img, aux)
+
+
+def make_train_step(
+    opt: optax.GradientTransformation,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    sh_degree: int = 3,
+    tc: TrainConfig = TrainConfig(),
+    bg_color=(0.0, 0.0, 0.0),
+):
+    """Jitted single-view training step:
+    (state, cam_view, target) -> (state, loss, aux)."""
+
+    @jax.jit
+    def step(state: TrainState, cam_view: CameraView, target):
+        (loss, (_img, aux)), grads = jax.value_and_grad(
+            photometric_loss, has_aux=True
+        )(
+            state.params,
+            cam_view,
+            target,
+            width,
+            height,
+            bg_color,
+            cfg,
+            sh_degree,
+            tc.ssim_weight,
+        )
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1),
+            loss,
+            aux,
+        )
+
+    return step

@@ -23,6 +23,10 @@ silently corrupts memory past its L=20'000'000 cap, app/main.cpp:245).
 Finally, each tile's range is re-packed so it starts at a CHUNK-aligned
 offset: rasterizer chunks then never straddle tiles, which keeps the
 Pallas grid race-free under megacore partitioning and all DMA chunks full.
+
+The pieces are exposed separately (expand_entries / sort_entries /
+pack_ranges) because the multi-chip path (parallel/render_sharded.py)
+interleaves an all-to-all exchange between expansion and packing.
 """
 
 from __future__ import annotations
@@ -52,7 +56,7 @@ class BinnedGaussians(NamedTuple):
     overflow: jnp.ndarray  # () bool: true entry count exceeded max_pairs
 
 
-def _forward_fill_ids(starts, valid, capacity: int):
+def forward_fill_ids(starts, valid, capacity: int):
     """slot -> source-row map: scatter row ids at their start offsets and
     forward-fill with an inclusive cummax (rows with valid[i]=False are
     dropped; their zero extent means no slot maps to them)."""
@@ -64,31 +68,20 @@ def _forward_fill_ids(starts, valid, capacity: int):
     return jax.lax.cummax(heads)
 
 
-def bin_gaussians(
-    proj: ProjectedGaussians,
-    grid_x: int,
-    grid_y: int,
-    max_pairs: int,
-) -> BinnedGaussians:
-    """Expand, sort and tile-pack splat entries.
+def expand_entries(proj: ProjectedGaussians, grid_x: int, num_tiles: int, max_pairs: int):
+    """Expand each gaussian's tile rect into one entry per touched tile.
 
-    Args:
-      proj: projection results (rects, counts, depths).
-      grid_x, grid_y: tile grid size.
-      max_pairs: static capacity for the expansion (reference L).
-
-    Returns:
-      BinnedGaussians with ``capacity = max_pairs + num_tiles * CHUNK``.
+    Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
+    slots have tile_id == num_tiles (sorts last), depth == +inf, gid == -1.
+    Emission order within a gaussian is y-outer/x-inner, matching the
+    reference key scatter (gs_tile_splatter/shader.cpp:55-67).
     """
-    num_tiles = grid_x * grid_y
     counts = proj.tiles_touched.astype(jnp.int32)  # (P,)
     ends = jnp.cumsum(counts)
     starts = ends - counts
     total = ends[-1] if counts.shape[0] > 0 else jnp.int32(0)
-    overflow = total > max_pairs
 
-    # --- expansion: slot j -> (tile, depth, gaussian) -------------------
-    slot_gid = _forward_fill_ids(starts, proj.valid, max_pairs)  # (L,)
+    slot_gid = forward_fill_ids(starts, proj.valid, max_pairs)  # (L,)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     slot_valid = slot < jnp.minimum(total, max_pairs)
 
@@ -97,49 +90,83 @@ def bin_gaussians(
     g_rect_max = jnp.take(proj.rect_max, slot_gid, axis=0)
     local = slot - g_start
     rect_w = jnp.maximum(g_rect_max[:, 0] - g_rect_min[:, 0], 1)
-    # reference emission order: y outer, x inner (shader.cpp:55-67)
     tile_x = g_rect_min[:, 0] + local % rect_w
     tile_y = g_rect_min[:, 1] + local // rect_w
     tile_id = tile_x + tile_y * grid_x
-    tile_id = jnp.where(slot_valid, tile_id, num_tiles)  # sentinel sorts last
+    tile_id = jnp.where(slot_valid, tile_id, num_tiles)
     depth = jnp.where(slot_valid, jnp.take(proj.depth, slot_gid), jnp.inf)
     gid = jnp.where(slot_valid, slot_gid, -1)
+    return tile_id, depth.astype(jnp.float32), gid, total
 
-    # --- sort by (tile, depth); stable so depth ties keep gaussian order,
-    # matching the reference's stable LSD radix sort over packed
-    # (tile<<32)|float_bits(depth) keys (shader.cpp:59-62) ----------------
-    sorted_tile, _sorted_depth, sorted_gid = jax.lax.sort(
-        (tile_id, depth.astype(jnp.float32), gid), num_keys=2, is_stable=True
-    )
 
-    # --- per-tile ranges (reference shad_get_ranges, shader.cpp:71-100) --
+def pack_ranges(sorted_tile, num_tiles: int, capacity: int):
+    """CHUNK-pad each tile's sorted range.
+
+    Args:
+      sorted_tile: (L,) int32 non-decreasing tile ids (sentinel >= num_tiles
+        for invalid entries).
+      capacity: output slot count (>= L + num_tiles * CHUNK covers the
+        worst case).
+
+    Returns:
+      src: (capacity,) int32 index into the sorted arrays.
+      in_range: (capacity,) bool — False marks padding slots.
+      slot_tile: (capacity,) int32 owning tile of each slot.
+      tile_starts/tile_counts: (num_tiles,) int32, CHUNK-aligned.
+    """
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     range_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
     range_end = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
     tile_len = range_end - range_start
 
-    # --- CHUNK-pad each tile's range and re-gather ------------------------
-    capacity = max_pairs + num_tiles * CHUNK
     padded_len = ((tile_len + CHUNK - 1) // CHUNK) * CHUNK
     padded_end = jnp.cumsum(padded_len)
     padded_start = padded_end - padded_len
 
-    slot2 = jnp.arange(capacity, dtype=jnp.int32)
-    slot_tile = _forward_fill_ids(padded_start, padded_len > 0, capacity)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    slot_tile = forward_fill_ids(padded_start, padded_len > 0, capacity)
     t_start = jnp.take(padded_start, slot_tile)
     t_len = jnp.take(tile_len, slot_tile)
     t_src = jnp.take(range_start, slot_tile)
-    local2 = slot2 - t_start
-    in_range = (local2 < t_len) & (slot2 < padded_end[-1])
-    src = jnp.clip(t_src + local2, 0, max_pairs - 1)
+    local = slot - t_start
+    in_range = (local < t_len) & (slot < padded_end[-1])
+    src = jnp.clip(t_src + local, 0, sorted_tile.shape[0] - 1)
+    return src, in_range, slot_tile, padded_start.astype(jnp.int32), padded_len.astype(jnp.int32)
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+) -> BinnedGaussians:
+    """Expand, sort and tile-pack splat entries (single-shard path).
+
+    Returns BinnedGaussians with ``capacity = max_pairs + num_tiles*CHUNK``.
+    """
+    num_tiles = grid_x * grid_y
+    tile_id, depth, gid, total = expand_entries(proj, grid_x, num_tiles, max_pairs)
+    overflow = total > max_pairs
+
+    # stable sort so depth ties keep gaussian order, matching the
+    # reference's stable LSD radix sort over packed
+    # (tile<<32)|float_bits(depth) keys (shader.cpp:59-62)
+    sorted_tile, _d, sorted_gid = jax.lax.sort(
+        (tile_id, depth, gid), num_keys=2, is_stable=True
+    )
+
+    capacity = max_pairs + num_tiles * CHUNK
+    src, in_range, slot_tile, tile_starts, tile_counts = pack_ranges(
+        sorted_tile, num_tiles, capacity
+    )
     entry_gid = jnp.where(in_range, jnp.take(sorted_gid, src), -1)
     entry_tile = jnp.where(in_range, slot_tile, -1)
 
     return BinnedGaussians(
         entry_gid=entry_gid,
         entry_tile=entry_tile,
-        tile_starts=padded_start.astype(jnp.int32),
-        tile_counts=padded_len.astype(jnp.int32),
+        tile_starts=tile_starts,
+        tile_counts=tile_counts,
         num_rendered=jnp.minimum(total, max_pairs).astype(jnp.int32),
         overflow=overflow,
     )

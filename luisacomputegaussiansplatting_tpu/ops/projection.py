@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..config import TILE, RenderConfig
-from ..utils.camera import Camera, camera_matrices
+from ..utils.camera import Camera, CameraView
 from ..utils.gaussian import (
     clamp_to_frustum,
     conic_and_radius,
@@ -82,10 +82,12 @@ def project_gaussians(
     means3d,
     scales,
     quats_xyzw,
-    camera: Camera,
+    camera: "Camera | CameraView",
     cfg: RenderConfig = RenderConfig(),
     scale_modifier: float = 1.0,
     ewa_mode: str = "inria",
+    width: int | None = None,
+    height: int | None = None,
 ) -> ProjectedGaussians:
     """Project gaussians into screen space and bin-precompute tile rects.
 
@@ -93,14 +95,23 @@ def project_gaussians(
       means3d: (N, 3) world centres.
       scales: (N, 3) exp-activated scales.
       quats_xyzw: (N, 4) unit quaternions (x, y, z, w).
-      camera: the Camera.
+      camera: a static Camera, or a traced CameraView (then width/height
+        must be given).
       cfg: pipeline constants.
       scale_modifier: global multiplier on scales
         (reference gs_projector/shader.cpp:128).
       ewa_mode: see utils.gaussian.ewa_project_cov.
     """
-    view, _proj = camera_matrices(camera, cfg.znear, cfg.zfar)
+    if isinstance(camera, Camera):
+        width, height = camera.width, camera.height
+        camera = camera.to_view()
+    if width is None or height is None:
+        raise ValueError("width/height are required with a CameraView")
+    view = camera.view
     view3 = view[:3, :3]
+    tan_fovx, tan_fovy = camera.tan_fovx, camera.tan_fovy
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
 
     # elementwise world->view transform: keeps full f32 on the VPU (a tiny
     # (N,3)x(3,3) matmul would hit the MXU's reduced default precision)
@@ -121,12 +132,12 @@ def project_gaussians(
     # reference's +1e-6 on w (gs_projector/shader.cpp:116).
     safe_z = jnp.where(in_front, depth, 1.0)
     inv_w = 1.0 / (safe_z + cfg.w_eps)
-    ndc_x = p_view[..., 0] / camera.tan_fovx * inv_w
-    ndc_y = p_view[..., 1] / camera.tan_fovy * inv_w
+    ndc_x = p_view[..., 0] / tan_fovx * inv_w
+    ndc_y = p_view[..., 1] / tan_fovy * inv_w
     means2d = jnp.stack(
         [
-            ndc2pix(ndc_x, camera.width),
-            ndc2pix(ndc_y, camera.height),
+            ndc2pix(ndc_x, width),
+            ndc2pix(ndc_y, height),
         ],
         axis=-1,
     )
@@ -134,19 +145,17 @@ def project_gaussians(
     cov3d = covariance_3d(scales * scale_modifier, quats_xyzw)
     t = clamp_to_frustum(
         jnp.stack([p_view[..., 0], p_view[..., 1], safe_z], axis=-1),
-        camera.tan_fovx,
-        camera.tan_fovy,
+        tan_fovx,
+        tan_fovy,
         cfg.frustum_clamp,
     )
-    cov2d = ewa_project_cov(
-        cov3d, t, view3, camera.focal_x, camera.focal_y, ewa_mode
-    )
+    cov2d = ewa_project_cov(cov3d, t, view3, focal_x, focal_y, ewa_mode)
     conic, radius = conic_and_radius(
         cov2d, cfg.lowpass, cfg.radius_sigma, cfg.det_eps
     )
     radius = jnp.where(in_front, radius, 0)
 
-    grid_x, grid_y = tile_grid(camera.width, camera.height)
+    grid_x, grid_y = tile_grid(width, height)
     rect_min, rect_max = _tile_rect(means2d, radius, grid_x, grid_y, cfg.rect_mode)
     tiles_touched = jnp.maximum(rect_max[..., 0] - rect_min[..., 0], 0) * jnp.maximum(
         rect_max[..., 1] - rect_min[..., 1], 0

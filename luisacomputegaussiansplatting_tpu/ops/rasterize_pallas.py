@@ -165,6 +165,7 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig):
 def _forward_kernel(
     starts_ref,
     counts_ref,
+    offset_ref,
     payload_hbm,
     out_ref,
     buf,
@@ -179,7 +180,8 @@ def _forward_kernel(
     start = starts_ref[tile]
     n_chunks = counts_ref[tile] // CHUNK
 
-    px, py, t0 = _pixel_coords(tile, grid_x, width, height)
+    # tile-sharded strips: offset_ref[0] is this shard's first global tile
+    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height)
     ut = _upper_triangular()
 
     def chunk_dma(c):
@@ -239,6 +241,7 @@ def rasterize_forward(
     width: int,
     height: int,
     cfg: RenderConfig,
+    tile_offset=None,
 ):
     """Run the forward kernel.
 
@@ -246,13 +249,17 @@ def rasterize_forward(
       payload: (FIELDS, capacity) float32, CHUNK-aligned per tile.
       tile_starts/tile_counts: (num_tiles,) int32.
       grid_x: tiles per row.
+      tile_offset: optional (1,) int32 — global index of this shard's
+        first tile (tile-sharded strips); defaults to 0.
 
     Returns:
       (num_tiles, PIX, 8) float32: columns [r, g, b, T, 0, 0, 0, 0].
     """
     num_tiles = tile_starts.shape[0]
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -274,7 +281,7 @@ def rasterize_forward(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_should_interpret(cfg),
-    )(tile_starts, tile_counts, payload)
+    )(tile_starts, tile_counts, tile_offset, payload)
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +292,7 @@ def rasterize_forward(
 def _backward_kernel(
     starts_ref,
     counts_ref,
+    offset_ref,
     payload_hbm,
     res_ref,
     grads_hbm,
@@ -304,7 +312,7 @@ def _backward_kernel(
     start = starts_ref[tile]
     n_chunks = counts_ref[tile] // CHUNK
 
-    px, py, t0 = _pixel_coords(tile, grid_x, width, height)
+    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height)
     ut = _upper_triangular()
 
     res = res_ref[0]  # (PIX, 8)
@@ -419,6 +427,7 @@ def rasterize_backward(
     width: int,
     height: int,
     cfg: RenderConfig,
+    tile_offset=None,
 ):
     """Run the backward kernel.
 
@@ -431,8 +440,10 @@ def rasterize_backward(
       entries with gid < 0 (binning guarantees they receive no gradient).
     """
     num_tiles = tile_starts.shape[0]
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -459,7 +470,7 @@ def rasterize_backward(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_should_interpret(cfg),
-    )(tile_starts, tile_counts, payload, residual)
+    )(tile_starts, tile_counts, tile_offset, payload, residual)
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +487,7 @@ def rasterize_tiles(
     width: int,
     height: int,
     cfg: RenderConfig,
+    tile_offset=None,
 ):
     """Differentiable tile rasterization.
 
@@ -483,30 +495,50 @@ def rasterize_tiles(
     Gradients flow to ``payload`` only (binning indices are structural).
     """
     out = rasterize_forward(
-        payload, tile_starts, tile_counts, grid_x, width, height, cfg
+        payload, tile_starts, tile_counts, grid_x, width, height, cfg, tile_offset
     )
     return out[:, :, 0:3], out[:, :, 3:4]
 
 
-def _rasterize_fwd(payload, tile_starts, tile_counts, grid_x, width, height, cfg):
+def _rasterize_fwd(
+    payload, tile_starts, tile_counts, grid_x, width, height, cfg, tile_offset=None
+):
     out = rasterize_forward(
-        payload, tile_starts, tile_counts, grid_x, width, height, cfg
+        payload, tile_starts, tile_counts, grid_x, width, height, cfg, tile_offset
     )
     color, trans = out[:, :, 0:3], out[:, :, 3:4]
-    return (color, trans), (payload, tile_starts, tile_counts, color, trans)
+    return (color, trans), (
+        payload,
+        tile_starts,
+        tile_counts,
+        tile_offset,
+        color,
+        trans,
+    )
 
 
 def _rasterize_bwd(grid_x, width, height, cfg, res, cotangents):
-    payload, tile_starts, tile_counts, color, trans = res
+    payload, tile_starts, tile_counts, tile_offset, color, trans = res
     d_color, d_trans = cotangents
     residual = jnp.concatenate([d_color, d_trans, color, trans], axis=2)
     d_payload = rasterize_backward(
-        payload, tile_starts, tile_counts, residual, grid_x, width, height, cfg
+        payload,
+        tile_starts,
+        tile_counts,
+        residual,
+        grid_x,
+        width,
+        height,
+        cfg,
+        tile_offset,
     )
     zero_int = np.zeros((), dtype=jax.dtypes.float0)
     d_starts = np.broadcast_to(zero_int, tile_starts.shape)
     d_counts = np.broadcast_to(zero_int, tile_counts.shape)
-    return d_payload, d_starts, d_counts
+    d_offset = None
+    if tile_offset is not None:
+        d_offset = np.broadcast_to(zero_int, tile_offset.shape)
+    return d_payload, d_starts, d_counts, d_offset
 
 
 rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)

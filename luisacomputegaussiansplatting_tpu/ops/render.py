@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..config import TILE, RenderConfig
-from ..utils.camera import Camera
+from ..utils.camera import Camera, CameraView
 from .binning import BinnedGaussians, bin_gaussians
 from .projection import ProjectedGaussians, project_gaussians, tile_grid
 from .rasterize_pallas import FIELDS, PIX, rasterize_tiles
@@ -78,6 +78,71 @@ def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: 
     return reshape(color), reshape(trans)[0]
 
 
+def render_view(
+    means3d,
+    scales,
+    quats_xyzw,
+    opacities,
+    sh_coeffs,
+    cam_view: CameraView,
+    width: int,
+    height: int,
+    bg_color=(0.0, 0.0, 0.0),
+    cfg: RenderConfig = RenderConfig(),
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    ewa_mode: str = "inria",
+):
+    """Render with a traced CameraView (vmap-able over view batches).
+
+    Returns (image (3, H, W), RenderAux)."""
+    colors = compute_colors(means3d, sh_coeffs, cam_view.position, sh_degree)
+    proj = project_gaussians(
+        means3d,
+        scales,
+        quats_xyzw,
+        cam_view,
+        cfg,
+        scale_modifier,
+        ewa_mode,
+        width=width,
+        height=height,
+    )
+    grid_x, grid_y = tile_grid(width, height)
+    binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
+    payload = build_payload(proj, colors, opacities, binned)
+
+    if cfg.rasterizer == "pallas":
+        color, trans = rasterize_tiles(
+            payload,
+            binned.tile_starts,
+            binned.tile_counts,
+            grid_x,
+            width,
+            height,
+            cfg,
+        )
+    elif cfg.rasterizer == "jnp":
+        color, trans = rasterize_reference(
+            payload, binned, grid_x, width, height, cfg
+        )
+    else:
+        raise ValueError(f"unknown rasterizer: {cfg.rasterizer!r}")
+
+    img_c, img_t = _tiles_to_image(color, trans, grid_x, grid_y, width, height)
+    bg = jnp.asarray(bg_color, jnp.float32)
+    image = img_c + bg[:, None, None] * img_t[None, :, :]
+
+    aux = RenderAux(
+        radii=proj.radius,
+        transmittance=img_t,
+        num_rendered=binned.num_rendered,
+        overflow=binned.overflow,
+        means2d=proj.means2d,
+    )
+    return image, aux
+
+
 def render_aux(
     means3d,
     scales,
@@ -98,45 +163,21 @@ def render_aux(
       opacities (N,) sigmoided, sh_coeffs (N, K, 3).
     Differentiable w.r.t. every gaussian input and bg_color.
     """
-    colors = compute_colors(means3d, sh_coeffs, camera.position, sh_degree)
-    proj = project_gaussians(
-        means3d, scales, quats_xyzw, camera, cfg, scale_modifier, ewa_mode
+    return render_view(
+        means3d,
+        scales,
+        quats_xyzw,
+        opacities,
+        sh_coeffs,
+        camera.to_view(),
+        camera.width,
+        camera.height,
+        bg_color,
+        cfg,
+        sh_degree,
+        scale_modifier,
+        ewa_mode,
     )
-    grid_x, grid_y = tile_grid(camera.width, camera.height)
-    binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
-    payload = build_payload(proj, colors, opacities, binned)
-
-    if cfg.rasterizer == "pallas":
-        color, trans = rasterize_tiles(
-            payload,
-            binned.tile_starts,
-            binned.tile_counts,
-            grid_x,
-            camera.width,
-            camera.height,
-            cfg,
-        )
-    elif cfg.rasterizer == "jnp":
-        color, trans = rasterize_reference(
-            payload, binned, grid_x, camera.width, camera.height, cfg
-        )
-    else:
-        raise ValueError(f"unknown rasterizer: {cfg.rasterizer!r}")
-
-    img_c, img_t = _tiles_to_image(
-        color, trans, grid_x, grid_y, camera.width, camera.height
-    )
-    bg = jnp.asarray(bg_color, jnp.float32)
-    image = img_c + bg[:, None, None] * img_t[None, :, :]
-
-    aux = RenderAux(
-        radii=proj.radius,
-        transmittance=img_t,
-        num_rendered=binned.num_rendered,
-        overflow=binned.overflow,
-        means2d=proj.means2d,
-    )
-    return image, aux
 
 
 def render(

@@ -1,0 +1,287 @@
+"""Multi-chip differentiable rendering: gaussians + tiles sharded over a mesh.
+
+The reference has no distributed path at all (single Device/Stream,
+app/main.cpp:162-163). This module is the TPU-native scale-out design from
+SURVEY.md section 7.6:
+
+  * gaussians are sharded over the mesh axis: each chip runs SH eval, EWA
+    projection and rect expansion on its P/D shard only;
+  * the image's tile grid is sharded as horizontal bands of tile rows:
+    chip d owns tile rows [d*rows_per_dev, (d+1)*rows_per_dev);
+  * each chip buckets its splat entries by owning chip (entries are
+    already tile-sorted, so buckets are contiguous slices) and exchanges
+    payload buckets with a single jax.lax.all_to_all over ICI;
+  * the receiver merges by (tile, depth, global gaussian id) — the 3-key
+    sort reproduces the single-chip stable order exactly — CHUNK-packs,
+    and rasterizes its band with the same Pallas kernels (tile_offset
+    selects the band's global tile coordinates).
+
+Differentiability: the whole pipeline is jnp + all_to_all + the custom-vjp
+rasterizer, so jax.grad works through it; the transpose of all_to_all
+routes per-entry payload gradients back to the chip that owns the source
+gaussian — per-gaussian parameter gradients need *no* psum (each gaussian
+lives on exactly one chip). Only scalar losses need a psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..config import CHUNK, TILE, RenderConfig
+from ..utils.camera import Camera, CameraView
+from ..ops.binning import expand_entries, pack_ranges
+from ..ops.projection import project_gaussians, tile_grid
+from ..ops.rasterize_pallas import FIELDS, rasterize_tiles
+from ..ops.sh_eval import compute_colors
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedRenderConfig:
+    """Static capacities of the exchange (all per-device)."""
+
+    #: expansion capacity per device (entries its local gaussians emit).
+    max_pairs_local: int = 1_000_000
+    #: bucket capacity per (source, destination) device pair.
+    exchange_capacity: int = 262_144
+
+
+class _ShardAux(NamedTuple):
+    overflow: jnp.ndarray  # () bool — any capacity exceeded on any chip
+    num_rendered: jnp.ndarray  # () int32 — total entries across chips
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def render_sharded(
+    means3d,
+    scales,
+    quats_xyzw,
+    opacities,
+    sh_coeffs,
+    camera: "Camera | CameraView",
+    mesh: Mesh,
+    axis: str = "gs",
+    width: int | None = None,
+    height: int | None = None,
+    bg_color=(0.0, 0.0, 0.0),
+    cfg: RenderConfig = RenderConfig(),
+    scfg: ShardedRenderConfig = ShardedRenderConfig(),
+    sh_degree: int = 3,
+):
+    """Render one view with gaussians and tiles sharded over ``axis``.
+
+    The gaussian arrays must be sharded (or shardable) along their leading
+    axis over ``axis``; P must divide evenly (pad with GaussianScene.pad_to).
+
+    Returns (image (3, H, W) sharded by rows over ``axis``, _ShardAux).
+    """
+    if isinstance(camera, Camera):
+        width, height = camera.width, camera.height
+        camera = camera.to_view()
+    ndev = mesh.shape[axis]
+    grid_x, grid_y = tile_grid(width, height)
+    rows_per_dev = -(-grid_y // ndev)
+    tiles_per_dev = rows_per_dev * grid_x
+    num_tiles_padded = tiles_per_dev * ndev
+
+    p_total = means3d.shape[0]
+    if p_total % ndev:
+        raise ValueError(f"gaussian count {p_total} not divisible by {ndev}")
+    p_shard = p_total // ndev
+
+    fn = functools.partial(
+        _render_shard,
+        ndev=ndev,
+        p_shard=p_shard,
+        grid_x=grid_x,
+        tiles_per_dev=tiles_per_dev,
+        width=width,
+        height=height,
+        sh_degree=sh_degree,
+        cfg=cfg,
+        scfg=scfg,
+        axis=axis,
+    )
+    spec_g = P(axis)
+    fn = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(spec_g, spec_g, spec_g, spec_g, spec_g, P(), P()),
+        out_specs=(P(None, axis, None), P()),
+        check_vma=False,
+    )
+    band, aux = fn(
+        means3d,
+        scales,
+        quats_xyzw,
+        opacities,
+        sh_coeffs,
+        camera,
+        jnp.asarray(bg_color, jnp.float32),
+    )
+    image = band[:, :height, :width]
+    return image, _ShardAux(
+        overflow=aux.overflow.reshape(()), num_rendered=aux.num_rendered.reshape(())
+    )
+
+
+def _render_shard(
+    means3d,
+    scales,
+    quats,
+    opacities,
+    sh_coeffs,
+    cam_view: CameraView,
+    bg,
+    *,
+    ndev: int,
+    p_shard: int,
+    grid_x: int,
+    tiles_per_dev: int,
+    width: int,
+    height: int,
+    sh_degree: int,
+    cfg: RenderConfig,
+    scfg: ShardedRenderConfig,
+    axis: str,
+):
+    """Per-device body (runs under shard_map)."""
+    dev = jax.lax.axis_index(axis)
+    num_tiles_padded = tiles_per_dev * ndev
+
+    # ---- local compute on this chip's gaussian shard -------------------
+    colors = compute_colors(means3d, sh_coeffs, cam_view.position, sh_degree)
+    proj = project_gaussians(
+        means3d, scales, quats, cam_view, cfg, width=width, height=height
+    )
+
+    l_loc = scfg.max_pairs_local
+    tile_id, depth, gid, total = expand_entries(
+        proj, grid_x, num_tiles_padded, l_loc
+    )
+    overflow = total > l_loc
+
+    # sort local entries by (tile, depth) — owner = tile // tiles_per_dev
+    # is monotone in tile, so owner buckets are contiguous slices
+    sorted_tile, sorted_depth, sorted_gid = jax.lax.sort(
+        (tile_id, depth, gid), num_keys=2, is_stable=True
+    )
+
+    # per-entry payload columns in the kernel field layout, plus routing
+    # metadata; gid becomes global so the receiver can tie-break depth
+    # exactly like the single-chip stable sort
+    safe = jnp.maximum(sorted_gid, 0)
+    valid = sorted_gid >= 0
+
+    def field(src):
+        return jnp.where(valid, jnp.take(src, safe), 0.0)
+
+    pf = jnp.stack(
+        [
+            field(proj.means2d[:, 0]),
+            field(proj.means2d[:, 1]),
+            field(proj.conic[:, 0]),
+            field(proj.conic[:, 1]),
+            field(proj.conic[:, 2]),
+            field(opacities.reshape(-1)),
+            field(colors[:, 0]),
+            field(colors[:, 1]),
+            field(colors[:, 2]),
+        ],
+        axis=1,
+    )  # (L, 9)
+    gid_global = jnp.where(valid, sorted_gid + dev * p_shard, -1)
+
+    # ---- bucket by owner chip ------------------------------------------
+    bcap = scfg.exchange_capacity
+    bounds = jnp.arange(ndev + 1, dtype=jnp.int32) * tiles_per_dev
+    cuts = jnp.searchsorted(sorted_tile, bounds, side="left").astype(jnp.int32)
+    owner_start = cuts[:-1]  # (ndev,)
+    owner_len = cuts[1:] - cuts[:-1]
+    overflow |= jnp.any(owner_len > bcap)
+
+    j = jnp.arange(bcap, dtype=jnp.int32)[None, :]  # (1, B)
+    src_idx = owner_start[:, None] + j  # (ndev, B)
+    bucket_valid = j < owner_len[:, None]
+    src_idx = jnp.clip(src_idx, 0, l_loc - 1)
+
+    send_pf = jnp.where(
+        bucket_valid[..., None], jnp.take(pf, src_idx, axis=0), 0.0
+    )  # (ndev, B, 9)
+    send_tile = jnp.where(bucket_valid, jnp.take(sorted_tile, src_idx), -1)
+    send_gid = jnp.where(bucket_valid, jnp.take(gid_global, src_idx), -1)
+    send_depth = jnp.where(
+        bucket_valid, jnp.take(sorted_depth, src_idx), jnp.inf
+    )
+    send_meta = jnp.stack([send_tile, send_gid], axis=-1)  # (ndev, B, 2) i32
+
+    # ---- the collective: one all-to-all over ICI ------------------------
+    recv_pf = jax.lax.all_to_all(send_pf, axis, 0, 0, tiled=False)
+    recv_depth = jax.lax.all_to_all(send_depth, axis, 0, 0, tiled=False)
+    recv_meta = jax.lax.all_to_all(send_meta, axis, 0, 0, tiled=False)
+
+    recv_pf = recv_pf.reshape(ndev * bcap, 9)
+    recv_depth = recv_depth.reshape(ndev * bcap)
+    recv_tile = recv_meta[..., 0].reshape(ndev * bcap)
+    recv_gid = recv_meta[..., 1].reshape(ndev * bcap)
+
+    # local tile index within this chip's band; invalid -> sentinel
+    ltile = recv_tile - dev * tiles_per_dev
+    invalid = recv_gid < 0
+    ltile = jnp.where(invalid, tiles_per_dev, ltile)
+    recv_depth = jnp.where(invalid, jnp.inf, recv_depth)
+    recv_gid_key = jnp.where(invalid, jnp.int32(2**31 - 1), recv_gid)
+
+    # ---- merge: 3-key sort == single-chip stable (tile, depth) order ----
+    idx0 = jnp.arange(ndev * bcap, dtype=jnp.int32)
+    s_ltile, _sd, _sg, perm = jax.lax.sort(
+        (ltile, recv_depth, recv_gid_key, idx0), num_keys=3, is_stable=False
+    )
+    s_pf = jnp.take(recv_pf, perm, axis=0)
+
+    cap_loc = _round_up(ndev * bcap + tiles_per_dev * CHUNK, CHUNK)
+    src, in_range, _slot_tile, starts, counts = pack_ranges(
+        s_ltile, tiles_per_dev, cap_loc
+    )
+    packed = jnp.where(
+        in_range[:, None], jnp.take(s_pf, src, axis=0), 0.0
+    )  # (cap_loc, 9)
+    pad = jnp.zeros((FIELDS - 9, cap_loc), jnp.float32)
+    payload = jnp.concatenate([packed.T, pad], axis=0)
+
+    # ---- rasterize this chip's band -------------------------------------
+    color, trans = rasterize_tiles(
+        payload,
+        starts,
+        counts,
+        grid_x,
+        width,
+        height,
+        cfg,
+        tile_offset=(dev * tiles_per_dev).reshape(1),
+    )
+    band_h = tiles_per_dev // grid_x * TILE
+    c = color.reshape(tiles_per_dev // grid_x, grid_x, TILE, TILE, 3)
+    c = c.transpose(4, 0, 2, 1, 3).reshape(3, band_h, grid_x * TILE)
+    t = trans.reshape(tiles_per_dev // grid_x, grid_x, TILE, TILE)
+    t = t.transpose(0, 2, 1, 3).reshape(band_h, grid_x * TILE)
+    band = c + bg[:, None, None] * t[None]
+
+    total_all = jax.lax.psum(jnp.minimum(total, l_loc), axis)
+    overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+    return band, _ShardAux(
+        overflow=overflow.reshape(1), num_rendered=total_all.reshape(1)
+    )

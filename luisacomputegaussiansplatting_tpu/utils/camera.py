@@ -19,12 +19,23 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 Vec3 = Tuple[float, float, float]
+
+
+class CameraView(NamedTuple):
+    """Traced camera representation: a jax pytree, so it can be vmapped
+    over (multi-view batches) and fed through jit/shard_map with camera
+    poses as runtime data. Image width/height stay static args."""
+
+    view: jnp.ndarray  # (4, 4) world->view matrix
+    position: jnp.ndarray  # (3,)
+    tan_fovx: jnp.ndarray  # ()
+    tan_fovy: jnp.ndarray  # ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +71,14 @@ class Camera:
     def resized(self, width: int, height: int) -> "Camera":
         return dataclasses.replace(self, width=width, height=height)
 
+    def to_view(self) -> CameraView:
+        return CameraView(
+            view=view_matrix(self),
+            position=jnp.asarray(self.position, jnp.float32),
+            tan_fovx=jnp.float32(self.tan_fovx),
+            tan_fovy=jnp.float32(self.tan_fovy),
+        )
+
 
 def look_at_camera(
     position,
@@ -88,6 +107,33 @@ def look_at_camera(
         fov=fov,
         width=width,
         height=height,
+    )
+
+
+def look_at_view(position, target, world_up, tan_fovy, aspect) -> CameraView:
+    """Traced look-at CameraView: all args may be jax arrays (camera-pose
+    gradients / vmapped view batches work through this path)."""
+    position = jnp.asarray(position, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    world_up = jnp.asarray(world_up, jnp.float32)
+    front = target - position
+    front = front / jnp.linalg.norm(front)
+    right = jnp.cross(front, world_up)
+    right = right / jnp.linalg.norm(right)
+    up = jnp.cross(right, front)
+    up = up / jnp.linalg.norm(up)
+    top = jnp.stack([right, up, front], axis=0)
+    trans = -jnp.sum(top * position[None, :], axis=1)
+    view = jnp.concatenate([top, trans[:, None]], axis=1)
+    view = jnp.concatenate(
+        [view, jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0
+    )
+    tan_fovy = jnp.asarray(tan_fovy, jnp.float32)
+    return CameraView(
+        view=view,
+        position=position,
+        tan_fovx=tan_fovy * aspect,
+        tan_fovy=tan_fovy,
     )
 
 
