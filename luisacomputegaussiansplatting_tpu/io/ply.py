@@ -95,13 +95,35 @@ def _read_vertex_table(path: str) -> Tuple[Dict[str, np.ndarray], int]:
     return cols, count
 
 
-def load_ply(path: str | os.PathLike, apply_activations: bool = True) -> GaussianScene:
+def load_ply(
+    path: str | os.PathLike,
+    apply_activations: bool = True,
+    use_native: bool = True,
+) -> GaussianScene:
     """Load a 3DGS checkpoint PLY into an activated GaussianScene.
 
     With apply_activations=False the raw stored values are returned in the
     same container (useful to build GaussianParams for fine-tuning).
+
+    The native C++ loader (native/ply_loader.cpp) handles the standard
+    binary schema; anything else takes the numpy path below.
     """
-    cols, n = _read_vertex_table(os.fspath(path))
+    path = os.fspath(path)
+    if use_native:
+        from .native import load_gsply_native
+
+        out = load_gsply_native(path, apply_activations)
+        if out is not None:
+            means, sh, opacity, scales, quats = out
+            return GaussianScene(
+                means=jnp.asarray(means),
+                scales=jnp.asarray(scales),
+                quats=jnp.asarray(quats),
+                opacities=jnp.asarray(opacity),
+                sh=jnp.asarray(sh),
+            )
+
+    cols, n = _read_vertex_table(path)
 
     def grab(names):
         return np.stack([cols[x].astype(np.float32) for x in names], axis=1)

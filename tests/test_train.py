@@ -1,0 +1,78 @@
+"""Single-chip training: losses behave and a tiny scene actually fits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from luisacomputegaussiansplatting_tpu.config import RenderConfig
+from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+from luisacomputegaussiansplatting_tpu.models.losses import (
+    d_ssim_l1_loss,
+    l1_loss,
+    psnr,
+    ssim,
+)
+from luisacomputegaussiansplatting_tpu.models.trainer import (
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+)
+from luisacomputegaussiansplatting_tpu.ops.render import render
+from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+
+def test_ssim_identity():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(3, 40, 56)), jnp.float32)
+    assert float(ssim(img, img)) > 0.9999
+    noisy = img + 0.2 * jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    assert float(ssim(img, jnp.clip(noisy, 0, 1))) < 0.9
+
+
+def test_loss_composition():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(size=(3, 32, 32)), jnp.float32)
+    b = jnp.asarray(rng.uniform(size=(3, 32, 32)), jnp.float32)
+    full = float(d_ssim_l1_loss(a, b, 0.2))
+    manual = 0.8 * float(l1_loss(a, b)) + 0.2 * (1 - float(ssim(a, b)))
+    np.testing.assert_allclose(full, manual, rtol=1e-6)
+    assert float(d_ssim_l1_loss(a, a)) < 1e-6
+
+
+def test_psnr():
+    a = jnp.zeros((3, 8, 8))
+    b = jnp.full((3, 8, 8), 0.1)
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-3)
+
+
+def test_fit_tiny_scene():
+    """Perturbed scene refits its own render: loss down, PSNR up."""
+    cam = look_at_camera((2.5, -2.2, 1.8), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=48, height=32)
+    cfg = RenderConfig(max_pairs=8192)
+    scene = random_scene(32, seed=5)
+    target = render(*scene.render_args(), cam, cfg=cfg)
+
+    params = scene.to_params()
+    rng = np.random.default_rng(7)
+    params = params._replace(
+        means=params.means
+        + jnp.asarray(rng.normal(0, 0.05, params.means.shape), jnp.float32),
+        opacity_logits=params.opacity_logits - 1.0,
+    )
+    # boosted lrs for a fast small-scene test
+    tc = TrainConfig(lr_means=2e-3, lr_opacity=0.1)
+    state, opt = init_train_state(params, tc)
+    step = make_train_step(opt, cam.width, cam.height, cfg=cfg, tc=tc)
+
+    cam_view = cam.to_view()
+    losses = []
+    for _ in range(30):
+        state, loss, _aux = step(state, cam_view, target)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], losses[:3] + losses[-3:]
+
+    img_final = render(*state.params.activate().render_args(), cam, cfg=cfg)
+    img_start = render(*params.activate().render_args(), cam, cfg=cfg)
+    assert float(psnr(img_final, target)) > float(psnr(img_start, target)) + 3
