@@ -38,7 +38,11 @@ class GaussianParams(NamedTuple):
         return self.means.shape[0]
 
     def activate(self) -> "GaussianScene":
-        quats = self.quats / jnp.linalg.norm(self.quats, axis=-1, keepdims=True)
+        from ..utils.packing import stack_cols, unstack_cols
+
+        qx, qy, qz, qw = unstack_cols(self.quats)
+        inv = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+        quats = stack_cols(qx * inv, qy * inv, qz * inv, qw * inv)
         return GaussianScene(
             means=self.means,
             scales=jnp.exp(self.log_scales),

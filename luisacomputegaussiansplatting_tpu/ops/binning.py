@@ -75,28 +75,50 @@ def expand_entries(proj: ProjectedGaussians, grid_x: int, num_tiles: int, max_pa
     slots have tile_id == num_tiles (sorts last), depth == +inf, gid == -1.
     Emission order within a gaussian is y-outer/x-inner, matching the
     reference key scatter (gs_tile_splatter/shader.cpp:55-67).
+
+    All per-slot lookups ride ONE row gather from a packed (P, 4) int32
+    table (XLA TPU gathers cost per row, nearly independent of width):
+    col 0 = start offset, col 1 = rect_min_x | rect_min_y << 16,
+    col 2 = rect width, col 3 = depth float bits (monotone for the
+    positive, near-culled depths that reach binning).
     """
     counts = proj.tiles_touched.astype(jnp.int32)  # (P,)
     ends = jnp.cumsum(counts)
     starts = ends - counts
     total = ends[-1] if counts.shape[0] > 0 else jnp.int32(0)
 
+    table = jnp.stack(
+        [
+            starts,
+            proj.rect_min[:, 0] | (proj.rect_min[:, 1] << 16),
+            jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
+            jax.lax.bitcast_convert_type(
+                proj.depth.astype(jnp.float32), jnp.int32
+            ),
+        ],
+        axis=1,
+    )  # (P, 4) int32
+
     slot_gid = forward_fill_ids(starts, proj.valid, max_pairs)  # (L,)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     slot_valid = slot < jnp.minimum(total, max_pairs)
 
-    g_start = jnp.take(starts, slot_gid)
-    g_rect_min = jnp.take(proj.rect_min, slot_gid, axis=0)  # (L, 2)
-    g_rect_max = jnp.take(proj.rect_max, slot_gid, axis=0)
-    local = slot - g_start
-    rect_w = jnp.maximum(g_rect_max[:, 0] - g_rect_min[:, 0], 1)
-    tile_x = g_rect_min[:, 0] + local % rect_w
-    tile_y = g_rect_min[:, 1] + local // rect_w
+    g = jnp.take(table, slot_gid, axis=0)  # (L, 4) — the one gather
+    local = slot - g[:, 0]
+    min_x = g[:, 1] & 0xFFFF
+    min_y = g[:, 1] >> 16
+    rect_w = g[:, 2]
+    tile_x = min_x + local % rect_w
+    tile_y = min_y + local // rect_w
     tile_id = tile_x + tile_y * grid_x
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)
-    depth = jnp.where(slot_valid, jnp.take(proj.depth, slot_gid), jnp.inf)
+    depth = jnp.where(
+        slot_valid,
+        jax.lax.bitcast_convert_type(g[:, 3], jnp.float32),
+        jnp.inf,
+    )
     gid = jnp.where(slot_valid, slot_gid, -1)
-    return tile_id, depth.astype(jnp.float32), gid, total
+    return tile_id, depth, gid, total
 
 
 def pack_ranges(sorted_tile, num_tiles: int, capacity: int):
@@ -125,12 +147,12 @@ def pack_ranges(sorted_tile, num_tiles: int, capacity: int):
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
     slot_tile = forward_fill_ids(padded_start, padded_len > 0, capacity)
-    t_start = jnp.take(padded_start, slot_tile)
-    t_len = jnp.take(tile_len, slot_tile)
-    t_src = jnp.take(range_start, slot_tile)
-    local = slot - t_start
-    in_range = (local < t_len) & (slot < padded_end[-1])
-    src = jnp.clip(t_src + local, 0, sorted_tile.shape[0] - 1)
+    # one row gather from the small per-tile table instead of three 1-D ones
+    table = jnp.stack([padded_start, tile_len, range_start], axis=1)  # (T, 3)
+    t = jnp.take(table, slot_tile, axis=0)  # (capacity, 3)
+    local = slot - t[:, 0]
+    in_range = (local < t[:, 1]) & (slot < padded_end[-1])
+    src = jnp.clip(t[:, 2] + local, 0, sorted_tile.shape[0] - 1)
     return src, in_range, slot_tile, padded_start.astype(jnp.int32), padded_len.astype(jnp.int32)
 
 

@@ -23,11 +23,13 @@ import jax.numpy as jnp
 from ..config import TILE, RenderConfig
 from ..utils.camera import Camera, CameraView
 from ..utils.gaussian import (
-    clamp_to_frustum,
-    conic_and_radius,
-    covariance_3d,
-    ewa_project_cov,
+    clamp_to_frustum_comps,
+    conic_and_radius_comps,
+    covariance_3d_elems,
+    ewa_project_cov_comps,
+    view_rotate_cov_elems,
 )
+from ..utils.packing import stack_cols, unstack_cols
 from ..utils.transform import ndc2pix
 
 
@@ -113,46 +115,37 @@ def project_gaussians(
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
 
-    # elementwise world->view transform: keeps full f32 on the VPU (a tiny
-    # (N,3)x(3,3) matmul would hit the MXU's reduced default precision)
-    p_view = jnp.stack(
-        [
-            means3d[..., 0] * view3[i, 0]
-            + means3d[..., 1] * view3[i, 1]
-            + means3d[..., 2] * view3[i, 2]
-            + view[i, 3]
-            for i in range(3)
-        ],
-        axis=-1,
-    )
-    depth = p_view[..., 2]
+    # All math below is component-wise over (N,) vectors: the VPU-native
+    # form, fused by XLA into a few elementwise passes, with no f32[N, 1]
+    # intermediates in the VJP (see utils/packing.py for why that matters).
+    mx, my, mz = unstack_cols(means3d)
+    px = mx * view3[0, 0] + my * view3[0, 1] + mz * view3[0, 2] + view[0, 3]
+    py = mx * view3[1, 0] + my * view3[1, 1] + mz * view3[1, 2] + view[1, 3]
+    depth = mx * view3[2, 0] + my * view3[2, 1] + mz * view3[2, 2] + view[2, 3]
     in_front = depth >= cfg.near
 
     # NDC via the projection matrix: x_ndc = x /(tanfovx * z), with the
     # reference's +1e-6 on w (gs_projector/shader.cpp:116).
     safe_z = jnp.where(in_front, depth, 1.0)
     inv_w = 1.0 / (safe_z + cfg.w_eps)
-    ndc_x = p_view[..., 0] / tan_fovx * inv_w
-    ndc_y = p_view[..., 1] / tan_fovy * inv_w
-    means2d = jnp.stack(
-        [
-            ndc2pix(ndc_x, width),
-            ndc2pix(ndc_y, height),
-        ],
-        axis=-1,
-    )
+    pix_x = ndc2pix(px / tan_fovx * inv_w, width)
+    pix_y = ndc2pix(py / tan_fovy * inv_w, height)
+    means2d = stack_cols(pix_x, pix_y)
 
-    cov3d = covariance_3d(scales * scale_modifier, quats_xyzw)
-    t = clamp_to_frustum(
-        jnp.stack([p_view[..., 0], p_view[..., 1], safe_z], axis=-1),
-        tan_fovx,
-        tan_fovy,
-        cfg.frustum_clamp,
+    sx, sy, sz = unstack_cols(scales)
+    if scale_modifier != 1.0:
+        sx, sy, sz = sx * scale_modifier, sy * scale_modifier, sz * scale_modifier
+    qx, qy, qz, qw = unstack_cols(quats_xyzw)
+    cov3d = covariance_3d_elems((sx, sy, sz), (qx, qy, qz, qw))
+    sigma_view = view_rotate_cov_elems(cov3d, view3, ewa_mode)
+    tx, ty, tz = clamp_to_frustum_comps(
+        px, py, safe_z, tan_fovx, tan_fovy, cfg.frustum_clamp
     )
-    cov2d = ewa_project_cov(cov3d, t, view3, focal_x, focal_y, ewa_mode)
-    conic, radius = conic_and_radius(
-        cov2d, cfg.lowpass, cfg.radius_sigma, cfg.det_eps
+    a, b, c = ewa_project_cov_comps(sigma_view, tx, ty, tz, focal_x, focal_y)
+    (ca, cb, cc), radius = conic_and_radius_comps(
+        a, b, c, cfg.lowpass, cfg.radius_sigma, cfg.det_eps
     )
+    conic = stack_cols(ca, cb, cc)
     radius = jnp.where(in_front, radius, 0)
 
     grid_x, grid_y = tile_grid(width, height)

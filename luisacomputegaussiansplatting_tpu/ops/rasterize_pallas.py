@@ -42,9 +42,12 @@ front-to-back replay with a carried prefix accumulator yields
                 - (suffix_wb_j + T_final * dL/dT_final) / (1 - alpha_j).
 
 Memory layout (all chosen for Mosaic's (sublane, 128-lane) tiling):
-  * payload: (FIELDS=16, capacity) float32, field-major. Rows:
+  * payload: (FIELDS=9, capacity) float32, field-major. Rows:
     [0] mean_x_px [1] mean_y_px [2] conic_a [3] conic_b [4] conic_c
-    [5] opacity (0 marks padding) [6] r [7] g [8] b [9..15] zero-pad.
+    [5] opacity (0 marks padding) [6] r [7] g [8] b. Mosaic pads the
+    9-sublane VMEM staging tiles internally; slimmer rows mean every
+    gather / sort / DMA over the capacity axis moves ~45% fewer bytes
+    than a 16-row layout would.
     Entries are pre-sorted by (tile, depth) and every tile's range start /
     length is CHUNK-aligned (binning.py), so each DMA is a lane-aligned
     (16, 128) slice and chunks never straddle tiles.
@@ -65,7 +68,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import CHUNK, TILE, RenderConfig
 
 PIX = TILE * TILE  # pixels per tile
-FIELDS = 16  # payload column count
+FIELDS = 9  # logical payload rows (mean xy, conic abc, opacity, rgb)
+# Physical rows of the kernel-facing payload: Mosaic requires HBM slice
+# sublane counts aligned to 8, so the (FIELDS, capacity) array is padded
+# to 16 rows at the kernel boundary (XLA-side gathers/sorts stay 9-wide).
+PAYLOAD_ROWS = 16
 
 # column layout of the per-tile output: (PIX, 8)
 COL_R, COL_G, COL_B, COL_T = 0, 1, 2, 3
@@ -246,7 +253,7 @@ def rasterize_forward(
     """Run the forward kernel.
 
     Args:
-      payload: (FIELDS, capacity) float32, CHUNK-aligned per tile.
+      payload: (PAYLOAD_ROWS, capacity) float32, CHUNK-aligned per tile.
       tile_starts/tile_counts: (num_tiles,) int32.
       grid_x: tiles per row.
       tile_offset: optional (1,) int32 — global index of this shard's
@@ -266,7 +273,7 @@ def rasterize_forward(
             (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PAYLOAD_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -395,7 +402,7 @@ def _backward_kernel(
         def _():
             out_dma(c - 2).wait()
 
-        pad = jnp.zeros((FIELDS - 9, CHUNK), jnp.float32)
+        pad = jnp.zeros((PAYLOAD_ROWS - 9, CHUNK), jnp.float32)
         gbuf[slot] = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, pad], axis=0
         )
@@ -435,7 +442,7 @@ def rasterize_backward(
       residual: (num_tiles, PIX, 8): columns [dC rgb, dT, C_final rgb, T_final].
 
     Returns:
-      (FIELDS, capacity) float32 per-entry gradients (payload layout);
+      (PAYLOAD_ROWS, capacity) float32 per-entry gradients (payload layout);
       columns of padding entries are unwritten garbage — callers must drop
       entries with gid < 0 (binning guarantees they receive no gradient).
     """
@@ -453,8 +460,8 @@ def rasterize_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, FIELDS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, FIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PAYLOAD_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PAYLOAD_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -11,16 +11,21 @@ reference) falls out of jax.grad through the custom-vjp rasterizer.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import TILE, RenderConfig
 from ..utils.camera import Camera, CameraView
+from ..utils.packing import stack_cols, unstack_cols
 from .binning import BinnedGaussians, bin_gaussians
 from .projection import ProjectedGaussians, project_gaussians, tile_grid
-from .rasterize_pallas import FIELDS, PIX, rasterize_tiles
+from .rasterize_pallas import FIELDS, PAYLOAD_ROWS, PIX, rasterize_tiles
 from .rasterize_ref import rasterize_reference
+from .segsum import reduce_rows_by_id
 from .sh_eval import compute_colors
 
 
@@ -34,36 +39,65 @@ class RenderAux(NamedTuple):
     means2d: jnp.ndarray  # (N, 2) pixel-space centres (for position grads)
 
 
-def build_payload(proj: ProjectedGaussians, colors, opacities, binned: BinnedGaussians):
-    """Gather the (FIELDS, capacity) field-major payload (differentiable).
+def payload_table(proj: ProjectedGaussians, colors, opacities):
+    """(N, FIELDS) row-major per-gaussian payload table (differentiable).
 
-    Every field is masked with where() on the padding flag: where's VJP
-    *selects* (rather than scales) the cotangent, so the uninitialised
-    gradient columns the backward kernel leaves at padding slots are
-    dropped exactly instead of being scatter-added into gaussian 0.
+    Row layout matches the kernel field order (rasterize_pallas.py docstring).
     """
-    gid = binned.entry_gid
-    safe = jnp.maximum(gid, 0)
-    valid = gid >= 0
-
-    def field(src):
-        return jnp.where(valid, jnp.take(src, safe), 0.0)
-
-    rows = [
-        field(proj.means2d[:, 0]),
-        field(proj.means2d[:, 1]),
-        field(proj.conic[:, 0]),
-        field(proj.conic[:, 1]),
-        field(proj.conic[:, 2]),
-        field(opacities.reshape(-1)),
-        field(colors[:, 0]),
-        field(colors[:, 1]),
-        field(colors[:, 2]),
-    ]
-    pad = jnp.zeros((FIELDS - len(rows), gid.shape[0]), jnp.float32)
-    return jnp.concatenate(
-        [jnp.stack(rows, axis=0), pad], axis=0
+    mx, my = unstack_cols(proj.means2d)
+    ca, cb, cc = unstack_cols(proj.conic)
+    r, g, b = unstack_cols(colors)
+    cols = stack_cols(
+        mx, my, ca, cb, cc, opacities.reshape(-1), r, g, b
     ).astype(jnp.float32)
+    assert cols.shape[1] == FIELDS
+    return cols
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_payload(table, entry_gid, n_rows: int):
+    """(N, FIELDS) table + (capacity,) gid -> (FIELDS, capacity) payload.
+
+    One fused row gather instead of one gather per field: XLA TPU gathers
+    cost per *row*, almost independent of row width, so this is ~9x
+    cheaper than field-at-a-time.
+
+    The VJP does NOT use XLA's scatter-add (~100 ns/row on TPU); it
+    sorts the cotangent rows by gaussian id and reduces them with the
+    Pallas segment-sum kernel (ops/segsum.py) — the TPU-native
+    equivalent of the gradient atomics a CUDA 3DGS backward would use.
+    Uninitialised cotangent columns at padding slots (gid < 0) are
+    dropped exactly, never accumulated into gaussian 0.
+    """
+    safe = jnp.maximum(entry_gid, 0)
+    valid = entry_gid >= 0
+    rows = jnp.take(table, safe, axis=0)  # (capacity, FIELDS)
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    pad = jnp.zeros((PAYLOAD_ROWS - FIELDS, entry_gid.shape[0]), jnp.float32)
+    return jnp.concatenate([rows.T, pad], axis=0)
+
+
+def _gather_payload_fwd(table, entry_gid, n_rows: int):
+    return gather_payload(table, entry_gid, n_rows), entry_gid
+
+
+def _gather_payload_bwd(n_rows, entry_gid, d_payload):
+    d_rows = d_payload[:FIELDS].T  # (capacity, FIELDS)
+    interpret = jax.default_backend() != "tpu"
+    d_table = reduce_rows_by_id(entry_gid, d_rows, n_rows, interpret=interpret)
+    d_gid = np.broadcast_to(
+        np.zeros((), dtype=jax.dtypes.float0), entry_gid.shape
+    )
+    return d_table, d_gid
+
+
+gather_payload.defvjp(_gather_payload_fwd, _gather_payload_bwd)
+
+
+def build_payload(proj: ProjectedGaussians, colors, opacities, binned: BinnedGaussians):
+    """Gather the (FIELDS, capacity) field-major payload (differentiable)."""
+    table = payload_table(proj, colors, opacities)
+    return gather_payload(table, binned.entry_gid, table.shape[0])
 
 
 def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int):

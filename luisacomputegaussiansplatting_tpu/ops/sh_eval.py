@@ -27,8 +27,11 @@ def compute_colors(means, sh_coeffs, cam_pos, degree: int = 3):
       (N, 3) RGB in [0, 1]; dir = normalize(mean - cam_pos) per
       reference sh_preprocessor.cpp:162-163.
     """
+    from ..utils.packing import stack_cols, unstack_cols
+
     cam_pos = jnp.asarray(cam_pos, means.dtype)
-    d = means - cam_pos
-    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    dirs = d / jnp.maximum(norm, 1e-12)
+    mx, my, mz = unstack_cols(means)
+    dx, dy, dz = mx - cam_pos[0], my - cam_pos[1], mz - cam_pos[2]
+    inv = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-12)
+    dirs = stack_cols(dx * inv, dy * inv, dz * inv)
     return eval_sh_color(sh_coeffs, dirs, degree)

@@ -42,7 +42,7 @@ from ..config import CHUNK, TILE, RenderConfig
 from ..utils.camera import Camera, CameraView
 from ..ops.binning import expand_entries, pack_ranges
 from ..ops.projection import project_gaussians, tile_grid
-from ..ops.rasterize_pallas import FIELDS, rasterize_tiles
+from ..ops.rasterize_pallas import FIELDS, PAYLOAD_ROWS, rasterize_tiles
 from ..ops.sh_eval import compute_colors
 
 
@@ -258,8 +258,8 @@ def _render_shard(
     )
     packed = jnp.where(
         in_range[:, None], jnp.take(s_pf, src, axis=0), 0.0
-    )  # (cap_loc, 9)
-    pad = jnp.zeros((FIELDS - 9, cap_loc), jnp.float32)
+    )  # (cap_loc, FIELDS)
+    pad = jnp.zeros((PAYLOAD_ROWS - FIELDS, cap_loc), jnp.float32)
     payload = jnp.concatenate([packed.T, pad], axis=0)
 
     # ---- rasterize this chip's band -------------------------------------

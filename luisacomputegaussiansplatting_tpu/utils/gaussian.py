@@ -25,6 +25,137 @@ import jax.numpy as jnp
 
 from .transform import rotation_from_quaternion
 
+# ---------------------------------------------------------------------------
+# Component-wise ("unstacked") variants.
+#
+# All hot per-gaussian math below operates on (N,) vectors and 3x3 python
+# lists of them. This is the VPU-native layout AND it avoids f32[N, 1]
+# intermediates in the backward pass, which XLA tiles to (8, 128) — a 128x
+# memory expansion that OOMs multi-million-gaussian training steps (see
+# utils/packing.py).
+# ---------------------------------------------------------------------------
+
+
+def rotation_elems(qx, qy, qz, qw):
+    """3x3 rotation matrix elements from (x, y, z, w) quaternion components
+    (parity: reference transform.hpp:188-212, unfolded row-major)."""
+    return [
+        [
+            1 - 2 * (qy * qy + qz * qz),
+            2 * (qx * qy - qz * qw),
+            2 * (qx * qz + qy * qw),
+        ],
+        [
+            2 * (qx * qy + qz * qw),
+            1 - 2 * (qx * qx + qz * qz),
+            2 * (qy * qz - qx * qw),
+        ],
+        [
+            2 * (qx * qz - qy * qw),
+            2 * (qy * qz + qx * qw),
+            1 - 2 * (qx * qx + qy * qy),
+        ],
+    ]
+
+
+def covariance_3d_elems(s, q):
+    """Sigma = R S S^T R^T as 6 unique elements.
+
+    Args:
+      s: 3-tuple of (N,) exp-activated scales.
+      q: 4-tuple of (N,) unit quaternion components (x, y, z, w).
+
+    Returns:
+      3x3 symmetric python matrix of (N,) arrays.
+    """
+    r = rotation_elems(*q)
+    m = [[r[i][j] * s[j] for j in range(3)] for i in range(3)]
+    cov = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for k in range(i, 3):
+            cov[i][k] = cov[k][i] = sum(m[i][j] * m[k][j] for j in range(3))
+    return cov
+
+
+def view_rotate_cov_elems(cov, view3, ewa_mode="inria"):
+    """Congruence transform of a symmetric 3x3 per-gaussian covariance by
+    the (3, 3) view rotation: V Sigma V^T ("inria", standard EWA) or
+    V^T Sigma V ("lcgs", the reference's variant — see module docstring).
+
+    Args:
+      cov: 3x3 python matrix of (N,) arrays (symmetric).
+      view3: (3, 3) traced array (scalar elements).
+
+    Returns:
+      3x3 symmetric python matrix of (N,) arrays.
+    """
+    if ewa_mode == "inria":
+        v = [[view3[i, j] for j in range(3)] for i in range(3)]
+    elif ewa_mode == "lcgs":
+        v = [[view3[j, i] for j in range(3)] for i in range(3)]
+    else:
+        raise ValueError(f"unknown ewa_mode: {ewa_mode!r}")
+    # tmp = V @ Sigma
+    tmp = [
+        [sum(v[i][j] * cov[j][k] for j in range(3)) for k in range(3)]
+        for i in range(3)
+    ]
+    out = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for l in range(i, 3):
+            out[i][l] = out[l][i] = sum(
+                tmp[i][k] * v[l][k] for k in range(3)
+            )
+    return out
+
+
+def clamp_to_frustum_comps(px, py, pz, tan_fovx, tan_fovy, clamp_factor=1.3):
+    """Component form of :func:`clamp_to_frustum`."""
+    lim_x = clamp_factor * tan_fovx
+    lim_y = clamp_factor * tan_fovy
+    tx = jnp.clip(px / pz, -lim_x, lim_x) * pz
+    ty = jnp.clip(py / pz, -lim_y, lim_y) * pz
+    return tx, ty, pz
+
+
+def ewa_project_cov_comps(sigma_view, tx, ty, tz, focal_x, focal_y):
+    """J Sigma_view J^T for the sparse 2x3 pixel-space EWA Jacobian.
+
+    Args:
+      sigma_view: 3x3 python matrix of (N,) arrays (view-space covariance).
+      tx, ty, tz: (N,) frustum-clamped view-space positions.
+
+    Returns:
+      (a, b, c): (N,) packed 2D covariance (before the low-pass filter).
+    """
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+
+    s00, s01, s02 = sigma_view[0][0], sigma_view[0][1], sigma_view[0][2]
+    s11, s12, s22 = sigma_view[1][1], sigma_view[1][2], sigma_view[2][2]
+
+    a = j00 * (j00 * s00 + j02 * s02) + j02 * (j00 * s02 + j02 * s22)
+    b = j00 * (j11 * s01 + j12 * s02) + j02 * (j11 * s12 + j12 * s22)
+    c = j11 * (j11 * s11 + j12 * s12) + j12 * (j11 * s12 + j12 * s22)
+    return a, b, c
+
+
+def conic_and_radius_comps(a, b, c, lowpass=0.3, radius_sigma=3.0, det_eps=1e-6):
+    """Component form of :func:`conic_and_radius`."""
+    a = a + lowpass
+    c = c + lowpass
+    det = a * c - b * b
+    inv_det = 1.0 / (det + det_eps)
+    conic = (c * inv_det, -b * inv_det, a * inv_det)
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(radius_sigma * jnp.sqrt(mid + disc)).astype(jnp.int32)
+    return conic, radius
+
 
 def covariance_3d(scales, quats_xyzw):
     """World-space covariance Sigma = R S S^T R^T.

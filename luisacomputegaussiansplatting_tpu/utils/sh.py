@@ -80,27 +80,68 @@ def sh_basis(dirs, degree: int):
     return jnp.stack(basis, axis=-1)
 
 
+def sh_basis_comps(x, y, z, degree: int):
+    """SH basis values as a list of (N,) arrays (no stacking) — see
+    :func:`sh_basis` for the stacked variant and ordering."""
+    if not 0 <= degree <= 3:
+        raise ValueError(f"SH degree must be in [0, 3], got {degree}")
+    one = jnp.ones_like(x)
+    basis = [SH_C0 * one]
+    if degree >= 1:
+        basis += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, zx = x * y, y * z, z * x
+        basis += [
+            SH_C2[0] * xy,
+            SH_C2[1] * yz,
+            SH_C2[2] * (2.0 * zz - xx - yy),
+            SH_C2[3] * zx,
+            SH_C2[4] * (xx - yy),
+        ]
+    if degree >= 3:
+        basis += [
+            SH_C3[0] * y * (3.0 * xx - yy),
+            SH_C3[1] * xy * z,
+            SH_C3[2] * y * (4.0 * zz - xx - yy),
+            SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH_C3[4] * x * (4.0 * zz - xx - yy),
+            SH_C3[5] * z * (xx - yy),
+            SH_C3[6] * x * (xx - 3.0 * yy),
+        ]
+    return basis
+
+
 def eval_sh_color(sh_coeffs, dirs, degree: int):
     """Evaluate SH colour: clamp(sum_k Y_k(dir) * sh_k + 0.5, 0, 1).
 
+    Component-wise over (N,) vectors — one fused VPU pass under XLA and
+    no f32[N, 1] cotangent buffers (utils/packing.py explains the layout
+    trap this avoids).
+
     Args:
-      sh_coeffs: (..., K, 3) with K >= (degree+1)^2 (3DGS layout: band 0
+      sh_coeffs: (N, K, 3) with K >= (degree+1)^2 (3DGS layout: band 0
         first, then the l=1..3 coefficients in m order).
-      dirs: (..., 3) unit directions (gaussian_pos - camera_pos, normalised).
+      dirs: (N, 3) unit directions (gaussian_pos - camera_pos, normalised).
       degree: active SH degree, 0..3.
 
     Returns:
-      (..., 3) RGB in [0, 1].
+      (N, 3) RGB in [0, 1].
     """
+    from .packing import stack_cols, unstack_cols
+
+    n, k_tot = sh_coeffs.shape[0], sh_coeffs.shape[1]
     k = num_sh_coeffs(degree)
-    basis = sh_basis(dirs, degree)  # (..., k)
-    color = jnp.einsum(
-        "...k,...kc->...c",
-        basis,
-        sh_coeffs[..., :k, :],
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return jnp.clip(color + 0.5, 0.0, 1.0)
+    x, y, z = unstack_cols(dirs)
+    basis = sh_basis_comps(x, y, z, degree)
+    sh_flat = unstack_cols(sh_coeffs.reshape(n, k_tot * 3))  # 3K x (N,)
+    chans = []
+    for c in range(3):
+        acc = 0.5
+        for i in range(k):
+            acc = acc + basis[i] * sh_flat[i * 3 + c]
+        chans.append(jnp.clip(acc, 0.0, 1.0))
+    return stack_cols(*chans)
 
 
 def sh_from_color(color):
