@@ -21,9 +21,10 @@ import time
 
 import numpy as np
 
-# Round-1 recorded figure (pixels/s/chip, fwd+bwd, this exact config).
-# Updated whenever the benchmark config changes; see BASELINE.md.
-ROUND1_BASELINE = None  # set after first real-TPU measurement
+# Round-1 recorded figure (pixels/s/chip, fwd+bwd, this exact config),
+# measured 2026-08-16 on TPU v5e (1 chip). Updated only if the benchmark
+# config changes; see BASELINE.md.
+ROUND1_BASELINE = 1_913_465.0
 
 
 def main():
