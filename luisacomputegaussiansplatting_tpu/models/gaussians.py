@@ -52,6 +52,35 @@ class GaussianParams(NamedTuple):
         )
 
 
+def pad_params_to(params: "GaussianParams", capacity: int) -> "GaussianParams":
+    """Zero-pad raw params to a fixed capacity for static-shape training.
+
+    Padding rows are parked transparent (logit -15) and tiny (log-scale
+    -18); models.densify tracks them as inactive and recycles them as
+    clone/split children.
+    """
+    cur = params.means.shape[0]
+    if capacity < cur:
+        raise ValueError(f"capacity {capacity} < current {cur}")
+    if capacity == cur:
+        return params
+    extra = capacity - cur
+
+    def pad(x, fill=0.0):
+        shape = (extra,) + x.shape[1:]
+        return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
+
+    quat_pad = jnp.zeros((extra, 4), params.quats.dtype).at[:, 3].set(1.0)
+    return GaussianParams(
+        means=pad(params.means),
+        log_scales=pad(params.log_scales, -18.0),
+        quats=jnp.concatenate([params.quats, quat_pad], axis=0),
+        opacity_logits=pad(params.opacity_logits, -15.0),
+        sh_dc=pad(params.sh_dc),
+        sh_rest=pad(params.sh_rest),
+    )
+
+
 class GaussianScene(NamedTuple):
     """Activated gaussian arrays, directly consumable by ops.render."""
 

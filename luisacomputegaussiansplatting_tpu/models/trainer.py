@@ -139,3 +139,62 @@ def make_train_step(
         )
 
     return step
+
+
+def make_densify_train_step(
+    opt: optax.GradientTransformation,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    sh_degree: int = 3,
+    tc: TrainConfig = TrainConfig(),
+    bg_color=(0.0, 0.0, 0.0),
+):
+    """Training step that also accumulates adaptive-density statistics.
+
+    The graphdeco recipe needs the *screen-space* positional gradient per
+    gaussian; it is obtained through a zero-valued means2d probe added in
+    projection (ops/projection.py), whose gradient IS dL/d(means2d) in
+    pixel units. Retired capacity slots are culled via the active mask.
+
+    Returns step(state, dstate, cam_view, target) ->
+    (state, dstate, loss, aux)."""
+    from .densify import DensifyState, accumulate_stats
+
+    @jax.jit
+    def step(state: TrainState, dstate: DensifyState, cam_view: CameraView, target):
+        probe = jnp.zeros((state.params.means.shape[0], 2), jnp.float32)
+
+        def loss_fn(params: GaussianParams, probe):
+            scene = params.activate()
+            img, aux = render_view(
+                scene.means,
+                scene.scales,
+                scene.quats,
+                scene.opacities,
+                scene.sh,
+                cam_view,
+                width,
+                height,
+                bg_color,
+                cfg,
+                sh_degree,
+                active_mask=dstate.active,
+                means2d_probe=probe,
+            )
+            return d_ssim_l1_loss(img, target, tc.ssim_weight), (img, aux)
+
+        (loss, (_img, aux)), (grads, probe_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, probe)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_dstate = accumulate_stats(dstate, probe_grad, aux.radii)
+        return (
+            TrainState(new_params, new_opt, state.step + 1),
+            new_dstate,
+            loss,
+            aux,
+        )
+
+    return step

@@ -90,6 +90,8 @@ def project_gaussians(
     ewa_mode: str = "inria",
     width: int | None = None,
     height: int | None = None,
+    active_mask=None,
+    means2d_probe=None,
 ) -> ProjectedGaussians:
     """Project gaussians into screen space and bin-precompute tile rects.
 
@@ -103,6 +105,13 @@ def project_gaussians(
       scale_modifier: global multiplier on scales
         (reference gs_projector/shader.cpp:128).
       ewa_mode: see utils.gaussian.ewa_project_cov.
+      active_mask: optional (N,) bool; False rows are culled outright
+        (static-capacity training: retired slots must not even be binned,
+        since the +lowpass covariance floor gives every gaussian a
+        nonzero pixel radius).
+      means2d_probe: optional (N, 2) zeros added to the pixel-space
+        centres; its gradient is the screen-space positional gradient the
+        densification policy accumulates (graphdeco's viewspace_grad).
     """
     if isinstance(camera, Camera):
         width, height = camera.width, camera.height
@@ -130,6 +139,10 @@ def project_gaussians(
     inv_w = 1.0 / (safe_z + cfg.w_eps)
     pix_x = ndc2pix(px / tan_fovx * inv_w, width)
     pix_y = ndc2pix(py / tan_fovy * inv_w, height)
+    if means2d_probe is not None:
+        prx, pry = unstack_cols(means2d_probe)
+        pix_x = pix_x + prx
+        pix_y = pix_y + pry
     means2d = stack_cols(pix_x, pix_y)
 
     sx, sy, sz = unstack_cols(scales)
@@ -147,6 +160,8 @@ def project_gaussians(
     )
     conic = stack_cols(ca, cb, cc)
     radius = jnp.where(in_front, radius, 0)
+    if active_mask is not None:
+        radius = jnp.where(active_mask, radius, 0)
 
     grid_x, grid_y = tile_grid(width, height)
     rect_min, rect_max = _tile_rect(means2d, radius, grid_x, grid_y, cfg.rect_mode)

@@ -126,8 +126,13 @@ def render_view(
     sh_degree: int = 3,
     scale_modifier: float = 1.0,
     ewa_mode: str = "inria",
+    active_mask=None,
+    means2d_probe=None,
 ):
     """Render with a traced CameraView (vmap-able over view batches).
+
+    active_mask / means2d_probe: training hooks, see
+    ops.projection.project_gaussians.
 
     Returns (image (3, H, W), RenderAux)."""
     colors = compute_colors(means3d, sh_coeffs, cam_view.position, sh_degree)
@@ -141,6 +146,8 @@ def render_view(
         ewa_mode,
         width=width,
         height=height,
+        active_mask=active_mask,
+        means2d_probe=means2d_probe,
     )
     grid_x, grid_y = tile_grid(width, height)
     binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
