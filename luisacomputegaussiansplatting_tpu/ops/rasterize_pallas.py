@@ -285,7 +285,7 @@ def rasterize_forward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         interpret=_should_interpret(cfg),
     )(tile_starts, tile_counts, tile_offset, payload)
@@ -474,7 +474,7 @@ def rasterize_backward(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         interpret=_should_interpret(cfg),
     )(tile_starts, tile_counts, tile_offset, payload, residual)

@@ -170,7 +170,7 @@ def segment_sum_sorted(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows * E, cols), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(ent_start, ent_end, table)
