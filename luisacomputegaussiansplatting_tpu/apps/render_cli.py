@@ -58,6 +58,9 @@ def build_parser():
     p.add_argument("--shard", action="store_true",
                    help="shard gaussians+tiles over all devices")
     p.add_argument("--ewa", choices=["inria", "lcgs"], default="inria")
+    p.add_argument("--tile", type=int, default=16, choices=[16, 32],
+                   help="rasterizer tile edge; 32 is faster for scenes of "
+                        "small splats (minor border differences)")
     return p
 
 
@@ -96,7 +99,7 @@ def main(argv=None):
     cam = look_at_camera(
         args.cam_pos, args.cam_target, world_up, fov=args.fov, width=w, height=h
     )
-    cfg = RenderConfig(max_pairs=args.max_pairs)
+    cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile)
     print(f"num_gaussians: {scene.num_gaussians}")
     print(f"rendering {w}x{h} on {jax.default_backend()} ({len(jax.devices())} device(s))")
 

@@ -59,6 +59,13 @@ class RenderConfig:
     znear: float = 0.1
     zfar: float = 100.0
 
+    #: rasterizer tile edge in pixels. 16 reproduces the reference's
+    #: binning semantics exactly (module.h:17); 32 roughly halves the
+    #: binning/sort work for scenes of small splats at slightly more
+    #: blend compute, with tiny image differences at tile borders (a
+    #: gaussian's 3-sigma rect rounds to different pixel sets).
+    tile: int = 16
+
     #: tile-rect clamp convention. "lcgs" clamps the *exclusive* max tile
     #: index to grid-1 (reference lcgs/src/module.cpp:33-35, which never bins
     #: into the last tile row/column); "inria" clamps to grid like the

@@ -46,12 +46,12 @@ class ProjectedGaussians(NamedTuple):
     valid: jnp.ndarray  # (N,) bool: survives near cull & touches tiles
 
 
-def tile_grid(width: int, height: int) -> tuple[int, int]:
+def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
     """(grid_x, grid_y) tile counts for an image size."""
-    return (width + TILE - 1) // TILE, (height + TILE - 1) // TILE
+    return (width + tile - 1) // tile, (height + tile - 1) // tile
 
 
-def _tile_rect(means2d, radius, grid_x: int, grid_y: int, mode: str):
+def _tile_rect(means2d, radius, grid_x: int, grid_y: int, mode: str, tile: int = TILE):
     """Tile rectangle [min, max) covered by a splat disc.
 
     mode "lcgs" reproduces reference lcgs/src/module.cpp:29-35 (clamps the
@@ -59,10 +59,10 @@ def _tile_rect(means2d, radius, grid_x: int, grid_y: int, mode: str):
     splats); mode "inria" clamps to grid like the graphdeco rasterizer.
     """
     r = radius.astype(jnp.float32)
-    lo_x = jnp.floor((means2d[..., 0] - r) / TILE).astype(jnp.int32)
-    lo_y = jnp.floor((means2d[..., 1] - r) / TILE).astype(jnp.int32)
-    hi_x = jnp.floor((means2d[..., 0] + r + TILE - 1) / TILE).astype(jnp.int32)
-    hi_y = jnp.floor((means2d[..., 1] + r + TILE - 1) / TILE).astype(jnp.int32)
+    lo_x = jnp.floor((means2d[..., 0] - r) / tile).astype(jnp.int32)
+    lo_y = jnp.floor((means2d[..., 1] - r) / tile).astype(jnp.int32)
+    hi_x = jnp.floor((means2d[..., 0] + r + tile - 1) / tile).astype(jnp.int32)
+    hi_y = jnp.floor((means2d[..., 1] + r + tile - 1) / tile).astype(jnp.int32)
     if mode == "lcgs":
         max_lo, max_hi = grid_x - 1, grid_x - 1
         may_lo, may_hi = grid_y - 1, grid_y - 1
@@ -163,8 +163,10 @@ def project_gaussians(
     if active_mask is not None:
         radius = jnp.where(active_mask, radius, 0)
 
-    grid_x, grid_y = tile_grid(width, height)
-    rect_min, rect_max = _tile_rect(means2d, radius, grid_x, grid_y, cfg.rect_mode)
+    grid_x, grid_y = tile_grid(width, height, cfg.tile)
+    rect_min, rect_max = _tile_rect(
+        means2d, radius, grid_x, grid_y, cfg.rect_mode, cfg.tile
+    )
     tiles_touched = jnp.maximum(rect_max[..., 0] - rect_min[..., 0], 0) * jnp.maximum(
         rect_max[..., 1] - rect_min[..., 1], 0
     )

@@ -67,7 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import CHUNK, TILE, RenderConfig
 
-PIX = TILE * TILE  # pixels per tile
+PIX = TILE * TILE  # pixels per tile at the default tile size
 FIELDS = 9  # logical payload rows (mean xy, conic abc, opacity, rgb)
 # Physical rows of the kernel-facing payload: Mosaic requires HBM slice
 # sublane counts aligned to 8, so the (FIELDS, capacity) array is padded
@@ -92,16 +92,17 @@ def _upper_triangular():
     return (rows <= cols).astype(jnp.float32)
 
 
-def _pixel_coords(tile_idx, grid_x: int, width: int, height: int):
-    """Global (x, y) pixel coordinates of a tile's PIX pixels as (PIX, 1),
-    plus the initial transmittance (1 in-image, 0 for pixels hanging past
-    the image edge — the reference's `inside` predicate,
+def _pixel_coords(tile_idx, grid_x: int, width: int, height: int, tile: int):
+    """Global (x, y) pixel coordinates of a tile's tile^2 pixels as
+    (tile^2, 1), plus the initial transmittance (1 in-image, 0 for pixels
+    hanging past the image edge — the reference's `inside` predicate,
     gs_tile_splatter/shader.cpp:195-196, which also feeds tile early-out)."""
+    pix = tile * tile
     tile_y = tile_idx // grid_x
     tile_x = tile_idx - tile_y * grid_x
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    ix = tile_x * TILE + p % TILE
-    iy = tile_y * TILE + p // TILE
+    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    ix = tile_x * tile + p % tile
+    iy = tile_y * tile + p // tile
     inside = (ix < width) & (iy < height)
     t0 = inside.astype(jnp.float32)
     return ix.astype(jnp.float32), iy.astype(jnp.float32), t0
@@ -187,8 +188,9 @@ def _forward_kernel(
     start = starts_ref[tile]
     n_chunks = counts_ref[tile] // CHUNK
 
+    pix = cfg.tile * cfg.tile
     # tile-sharded strips: offset_ref[0] is this shard's first global tile
-    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height)
+    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, cfg.tile)
     ut = _upper_triangular()
 
     def chunk_dma(c):
@@ -227,7 +229,7 @@ def _forward_kernel(
         t_new = f["t_next"]
         return (c + 1, t_new, cr, cg, cb, jnp.max(t_new))
 
-    zeros = jnp.zeros((PIX, 1), jnp.float32)
+    zeros = jnp.zeros((pix, 1), jnp.float32)
     init = (jnp.int32(0), t0, zeros, zeros, zeros, jnp.float32(1.0))
     c_f, t_fin, cr, cg, cb, _ = jax.lax.while_loop(cond, body, init)
 
@@ -236,7 +238,7 @@ def _forward_kernel(
     def _():
         chunk_dma(c_f).wait()
 
-    pad = jnp.zeros((PIX, 4), jnp.float32)
+    pad = jnp.zeros((pix, 4), jnp.float32)
     out_ref[0] = jnp.concatenate([cr, cg, cb, t_fin, pad], axis=1)
 
 
@@ -263,6 +265,7 @@ def rasterize_forward(
       (num_tiles, PIX, 8) float32: columns [r, g, b, T, 0, 0, 0, 0].
     """
     num_tiles = tile_starts.shape[0]
+    pix = cfg.tile * cfg.tile
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -270,7 +273,7 @@ def rasterize_forward(
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, pix, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, PAYLOAD_ROWS, CHUNK), jnp.float32),
@@ -283,7 +286,7 @@ def rasterize_forward(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, pix, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
@@ -318,11 +321,12 @@ def _backward_kernel(
     tile = pl.program_id(0)
     start = starts_ref[tile]
     n_chunks = counts_ref[tile] // CHUNK
+    pix = cfg.tile * cfg.tile
 
-    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height)
+    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, cfg.tile)
     ut = _upper_triangular()
 
-    res = res_ref[0]  # (PIX, 8)
+    res = res_ref[0]  # (pix, 8)
     g_r = res[:, 0:1]
     g_g = res[:, 1:2]
     g_b = res[:, 2:3]
@@ -412,7 +416,7 @@ def _backward_kernel(
         prefix_new = prefix + jnp.sum(wb, axis=1, keepdims=True)
         return (t_new, prefix_new)
 
-    init = (t0, jnp.zeros((PIX, 1), jnp.float32))
+    init = (t0, jnp.zeros((pix, 1), jnp.float32))
     jax.lax.fori_loop(0, n_chunks, body, init)
 
     # drain trailing output DMAs
@@ -447,6 +451,7 @@ def rasterize_backward(
       entries with gid < 0 (binning guarantees they receive no gradient).
     """
     num_tiles = tile_starts.shape[0]
+    pix = cfg.tile * cfg.tile
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -455,7 +460,7 @@ def rasterize_backward(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, pix, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

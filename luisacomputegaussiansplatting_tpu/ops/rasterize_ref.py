@@ -37,6 +37,8 @@ def rasterize_reference(
         layout.
       binned: binning result (entry_tile gives each entry's owning tile).
     """
+    ts = cfg.tile  # tile edge in pixels
+    pix = ts * ts
     capacity = payload.shape[1]
     num_tiles = binned.tile_starts.shape[0]
     tile = jnp.clip(binned.entry_tile, 0, num_tiles - 1)
@@ -44,9 +46,9 @@ def rasterize_reference(
     # per-entry pixel coordinates of its tile
     tile_y = tile // grid_x
     tile_x = tile - tile_y * grid_x
-    lane = jnp.arange(PIX, dtype=jnp.int32)[None, :]
-    ix = tile_x[:, None] * TILE + lane % TILE
-    iy = tile_y[:, None] * TILE + lane // TILE
+    lane = jnp.arange(pix, dtype=jnp.int32)[None, :]
+    ix = tile_x[:, None] * ts + lane % ts
+    iy = tile_y[:, None] * ts + lane // ts
     inside = (ix < width) & (iy < height)
     px = ix.astype(jnp.float32)
     py = iy.astype(jnp.float32)
@@ -79,19 +81,19 @@ def rasterize_reference(
 
     # accumulate per tile
     seg = tile
-    color = jnp.zeros((num_tiles, PIX, 3), jnp.float32)
+    color = jnp.zeros((num_tiles, pix, 3), jnp.float32)
     for c, field in enumerate((6, 7, 8)):
         contrib = w * payload[field, :, None]
         color = color.at[:, :, c].add(
             jax.ops.segment_sum(contrib, seg, num_segments=num_tiles)
         )
-    t_fin = jnp.ones((num_tiles, PIX), jnp.float32)
+    t_fin = jnp.ones((num_tiles, pix), jnp.float32)
     t_candidates = jnp.where(applied, t_after, 1.0)
     t_fin = t_fin.at[seg].min(t_candidates)
     # out-of-image pixels are dead from the start (T = 0)
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_ix = (tiles % grid_x)[:, None] * TILE + lane % TILE
-    t_iy = (tiles // grid_x)[:, None] * TILE + lane // TILE
+    t_ix = (tiles % grid_x)[:, None] * ts + lane % ts
+    t_iy = (tiles // grid_x)[:, None] * ts + lane // ts
     t0 = ((t_ix < width) & (t_iy < height)).astype(jnp.float32)
     t_fin = t_fin * t0
     return color, t_fin[:, :, None]

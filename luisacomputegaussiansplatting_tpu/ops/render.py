@@ -100,13 +100,13 @@ def build_payload(proj: ProjectedGaussians, colors, opacities, binned: BinnedGau
     return gather_payload(table, binned.entry_gid, table.shape[0])
 
 
-def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int):
-    """(num_tiles, PIX, C) -> (C, H, W) crop."""
+def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int, tile: int = TILE):
+    """(num_tiles, tile^2, C) -> (C, H, W) crop."""
 
     def reshape(x):
         c = x.shape[2]
-        x = x.reshape(grid_y, grid_x, TILE, TILE, c)
-        x = x.transpose(4, 0, 2, 1, 3).reshape(c, grid_y * TILE, grid_x * TILE)
+        x = x.reshape(grid_y, grid_x, tile, tile, c)
+        x = x.transpose(4, 0, 2, 1, 3).reshape(c, grid_y * tile, grid_x * tile)
         return x[:, :height, :width]
 
     return reshape(color), reshape(trans)[0]
@@ -149,7 +149,7 @@ def render_view(
         active_mask=active_mask,
         means2d_probe=means2d_probe,
     )
-    grid_x, grid_y = tile_grid(width, height)
+    grid_x, grid_y = tile_grid(width, height, cfg.tile)
     binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
     payload = build_payload(proj, colors, opacities, binned)
 
@@ -170,7 +170,9 @@ def render_view(
     else:
         raise ValueError(f"unknown rasterizer: {cfg.rasterizer!r}")
 
-    img_c, img_t = _tiles_to_image(color, trans, grid_x, grid_y, width, height)
+    img_c, img_t = _tiles_to_image(
+        color, trans, grid_x, grid_y, width, height, cfg.tile
+    )
     bg = jnp.asarray(bg_color, jnp.float32)
     image = img_c + bg[:, None, None] * img_t[None, :, :]
 

@@ -111,8 +111,11 @@ def test_saturated_early_termination():
     # into a knife-edge threshold decision; 0.85 crosses cleanly.
     scene = random_scene(600, seed=1, extent=0.5, scale_range=(0.2, 0.4))
     scene = scene._replace(opacities=np.full((600,), 0.85, np.float32))
-    cfg = RenderConfig(max_pairs=200_000)
-    img, aux = render_aux(*scene.render_args(), cam, cfg=cfg)
+    cfg = RenderConfig(max_pairs=16_000)
+    import jax
+    img, aux = jax.jit(
+        lambda *a: render_aux(*a, cam, cfg=cfg)
+    )(*scene.render_args())
     t = np.asarray(aux.transmittance)
     assert t.min() < 1e-3  # saturation reached
     # vs oracle: the T < 1e-4 stop decision is threshold-sensitive — at
@@ -128,8 +131,11 @@ def test_saturated_early_termination():
     # *global* f32 cumsum accumulates rounding across all 200k entries
     # (segment-difference trick), so the tolerance is looser than in the
     # small-case test above.
-    cfg_jnp = RenderConfig(max_pairs=200_000, rasterizer="jnp")
-    img_jnp = render(*scene.render_args(), cam, cfg=cfg_jnp)
+    cfg_jnp = RenderConfig(max_pairs=16_000, rasterizer="jnp")
+    import jax
+    img_jnp = jax.jit(
+        lambda *a: render(*a, cam, cfg=cfg_jnp)
+    )(*scene.render_args())
     np.testing.assert_allclose(np.asarray(img), np.asarray(img_jnp), atol=1e-3)
 
 

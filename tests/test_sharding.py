@@ -39,17 +39,25 @@ def test_devices():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
 
 
-@pytest.mark.parametrize("bg", [(0, 0, 0), (0.2, 0.4, 0.6)])
-def test_sharded_render_matches_single(scene, bg):
+def test_sharded_render_matches_single(scene):
     mesh = make_mesh((8,), ("gs",))
-    img_s, aux = render_sharded(
-        *scene.render_args(), CAM, mesh, cfg=CFG, scfg=SCFG, bg_color=bg
+    # bg is a traced argument: one compile covers both colour cases
+    f_s = jax.jit(
+        lambda bg, *a: render_sharded(
+            *a, CAM, mesh, cfg=CFG, scfg=SCFG, bg_color=bg
+        )
     )
-    assert not bool(aux.overflow)
-    img_1 = render(*scene.render_args(), CAM, bg_color=bg, cfg=CFG)
-    np.testing.assert_allclose(
-        np.asarray(img_s), np.asarray(img_1), atol=2e-5
+    f_1 = jax.jit(
+        lambda bg, *a: render(*a, CAM, bg_color=bg, cfg=CFG)
     )
+    for bg in ((0.0, 0.0, 0.0), (0.2, 0.4, 0.6)):
+        bg = jnp.asarray(bg, jnp.float32)
+        img_s, aux = f_s(bg, *scene.render_args())
+        assert not bool(aux.overflow)
+        img_1 = f_1(bg, *scene.render_args())
+        np.testing.assert_allclose(
+            np.asarray(img_s), np.asarray(img_1), atol=2e-5
+        )
 
 
 def test_sharded_grads_match_single(scene):
@@ -66,8 +74,12 @@ def test_sharded_grads_match_single(scene):
     def loss_single(*args):
         return jnp.sum(render(*args, CAM, cfg=CFG) * wimg)
 
-    g_s = jax.grad(loss_sharded, argnums=(0, 1, 2, 3, 4))(*scene.render_args())
-    g_1 = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*scene.render_args())
+    g_s = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2, 3, 4)))(
+        *scene.render_args()
+    )
+    g_1 = jax.jit(jax.grad(loss_single, argnums=(0, 1, 2, 3, 4)))(
+        *scene.render_args()
+    )
     for name, a, b in zip("msqoh", g_s, g_1):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
@@ -78,10 +90,10 @@ def test_uneven_band_split(scene):
     """Height whose tile rows don't divide the device count."""
     cam = CAM.resized(64, 48)  # 3 tile rows over 8 devices
     mesh = make_mesh((8,), ("gs",))
-    img_s, aux = render_sharded(
-        *scene.render_args(), cam, mesh, cfg=CFG, scfg=SCFG
-    )
-    img_1 = render(*scene.render_args(), cam, cfg=CFG)
+    img_s, aux = jax.jit(
+        lambda *a: render_sharded(*a, cam, mesh, cfg=CFG, scfg=SCFG)
+    )(*scene.render_args())
+    img_1 = jax.jit(lambda *a: render(*a, cam, cfg=CFG))(*scene.render_args())
     assert img_s.shape == (3, 48, 64)
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1), atol=2e-5)
 
