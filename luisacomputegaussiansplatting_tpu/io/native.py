@@ -104,3 +104,56 @@ def load_gsply_native(path: str, apply_activations: bool = True, n_threads: int 
     if rc != 0:
         return None
     return means, sh, opacity, scales, quats
+
+
+# ---------------------------------------------------------------------------
+# native PNG writer (native/png_writer.cpp) — stb_image_write parity
+# ---------------------------------------------------------------------------
+
+_PNG_LIB_PATH = os.path.join(_NATIVE_DIR, "libgspng.so")
+_png_lib = None
+_png_failed = False
+
+
+def _get_png_lib():
+    global _png_lib, _png_failed
+    if _png_lib is not None or _png_failed:
+        return _png_lib
+    if not os.path.exists(_PNG_LIB_PATH) and not build_native():
+        _png_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_PNG_LIB_PATH)
+        lib.write_png_rgb8.restype = ctypes.c_int
+        lib.write_png_rgb8.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _png_lib = lib
+    except OSError:
+        _png_failed = True
+    return _png_lib
+
+
+def write_png_native(path: str, hwc_u8: np.ndarray) -> bool:
+    """Write an (H, W, 3) uint8 array as PNG via the C++ writer.
+
+    Returns False (caller should fall back to PIL) if the library is
+    unavailable or the write fails.
+    """
+    lib = _get_png_lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(hwc_u8, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        return False
+    h, w = arr.shape[:2]
+    rc = lib.write_png_rgb8(
+        os.fspath(path).encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(w),
+        int(h),
+    )
+    return rc == 0

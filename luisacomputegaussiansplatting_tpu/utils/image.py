@@ -22,10 +22,21 @@ def chw_to_png_array(img_chw, flip_vertical: bool = True) -> np.ndarray:
     return (hwc * 255.0).astype(np.uint8)
 
 
-def write_png(path, img_chw, flip_vertical: bool = True) -> None:
+def write_png(path, img_chw, flip_vertical: bool = True, use_native: bool = True) -> None:
+    """Write a (3, H, W) float image as PNG.
+
+    Fast path: the dependency-free C++ writer (native/png_writer.cpp,
+    the counterpart of the reference's stb_image_write); falls back to
+    PIL when the shared library is unavailable.
+    """
+    arr = chw_to_png_array(img_chw, flip_vertical)
+    if use_native:
+        from ..io.native import write_png_native
+
+        if write_png_native(path, arr):
+            return
     from PIL import Image
 
-    arr = chw_to_png_array(img_chw, flip_vertical)
     Image.fromarray(arr, mode="RGB").save(path)
 
 

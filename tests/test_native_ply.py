@@ -64,3 +64,34 @@ def test_load_ply_prefers_native(tmp_path, have_native):
     b = load_ply(path, use_native=False)
     np.testing.assert_array_equal(np.asarray(a.means), np.asarray(b.means))
     np.testing.assert_array_equal(np.asarray(a.sh), np.asarray(b.sh))
+
+
+def test_native_png_writer_roundtrip(tmp_path):
+    """C++ PNG writer output must decode back bit-exact (PIL as reader)."""
+    import numpy as np
+
+    from luisacomputegaussiansplatting_tpu.io.native import write_png_native
+
+    rng = np.random.default_rng(0)
+    hwc = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)  # odd sizes
+    path = tmp_path / "t.png"
+    ok = write_png_native(str(path), hwc)
+    assert ok, "native writer unavailable or failed"
+    from PIL import Image
+
+    back = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(back, hwc)
+
+
+def test_write_png_uses_native(tmp_path):
+    import numpy as np
+
+    from luisacomputegaussiansplatting_tpu.utils.image import read_png, write_png
+
+    img = np.clip(np.random.default_rng(1).random((3, 24, 40)), 0, 1).astype(
+        np.float32
+    )
+    path = tmp_path / "x.png"
+    write_png(str(path), img, flip_vertical=False)
+    back = read_png(str(path))
+    assert np.abs(back - np.floor(img * 255) / 255).max() <= 1 / 255
