@@ -178,6 +178,17 @@ def main(argv=None):
     targets = [jnp.asarray(t) for t in data.targets]
     densify_until = args.densify_until or args.iters // 2
 
+    from ..ops.render import render_view
+
+    @jax.jit
+    def eval_render(params, active, view):
+        scene = params.activate()
+        img, _ = render_view(
+            *scene.render_args(), view, width, height, bg, cfg,
+            args.sh_degree, active_mask=active,
+        )
+        return img
+
     t0 = time.perf_counter()
     last_loss = float("nan")
     for it in range(start_iter, args.iters):
@@ -216,15 +227,7 @@ def main(argv=None):
                 flush=True,
             )
         if args.eval_every and (it + 1) % args.eval_every == 0:
-            scene = jax.jit(lambda p: p.activate())(state.params)
-            from ..ops.render import render_view
-
-            img, _ = jax.jit(
-                lambda *a: render_view(
-                    *a, views[0], width, height, bg, cfg, args.sh_degree,
-                    active_mask=dstate.active,
-                )
-            )(*scene.render_args())
+            img = eval_render(state.params, dstate.active, views[0])
             print(f"  eval view0 PSNR {psnr(img, targets[0]):.2f} dB")
         if ckpt and args.ckpt_every and (it + 1) % args.ckpt_every == 0:
             ckpt.save(it + 1, (state, dstate))
@@ -241,14 +244,7 @@ def main(argv=None):
     save_ply(packed, out_ply)
     print(f"saved {int(active.sum())} gaussians to {out_ply}")
 
-    from ..ops.render import render_view
-
-    img, _ = jax.jit(
-        lambda *a: render_view(
-            *a, views[0], width, height, bg, cfg, args.sh_degree,
-            active_mask=dstate.active,
-        )
-    )(*scene.render_args())
+    img = eval_render(state.params, dstate.active, views[0])
     final_psnr = psnr(img, targets[0])
     write_png(os.path.join(args.out, f"{name}_view0.png"), np.asarray(img),
               flip_vertical=False)

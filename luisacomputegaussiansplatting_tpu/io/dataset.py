@@ -110,15 +110,20 @@ def synthetic_multiview(
     from ..config import RenderConfig
     from ..ops.render import render
 
+    from ..ops.render import render_view
+
     cfg = cfg or RenderConfig(max_pairs=1_000_000)
     make = sphere_cameras if rig == "sphere" else turntable_cameras
     cams = make(n_views, radius=radius, fov=fov, width=width, height=height)
-    targets = []
-    for cam in cams:
-        img = jax.jit(
-            lambda *a, c=cam: render(*a, c, cfg=cfg, sh_degree=sh_degree)
-        )(*scene.render_args())
-        targets.append(np.asarray(img))
+    # one compile for every view: the camera is a traced CameraView
+    fn = jax.jit(
+        lambda view, *a: render_view(
+            *a, view, width, height, cfg=cfg, sh_degree=sh_degree
+        )[0]
+    )
+    targets = [
+        np.asarray(fn(cam.to_view(), *scene.render_args())) for cam in cams
+    ]
     extent = float(np.linalg.norm(np.asarray(scene.means), axis=1).max())
     return MultiViewDataset(cams, targets, scene_extent=max(extent, 1e-6))
 

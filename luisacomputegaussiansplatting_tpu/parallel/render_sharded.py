@@ -182,27 +182,16 @@ def _render_shard(
 
     # per-entry payload columns in the kernel field layout, plus routing
     # metadata; gid becomes global so the receiver can tie-break depth
-    # exactly like the single-chip stable sort
+    # exactly like the single-chip stable sort. One fused row gather from
+    # the packed per-gaussian table (see ops.render.gather_payload).
+    from ..ops.render import payload_table
+
     safe = jnp.maximum(sorted_gid, 0)
     valid = sorted_gid >= 0
-
-    def field(src):
-        return jnp.where(valid, jnp.take(src, safe), 0.0)
-
-    pf = jnp.stack(
-        [
-            field(proj.means2d[:, 0]),
-            field(proj.means2d[:, 1]),
-            field(proj.conic[:, 0]),
-            field(proj.conic[:, 1]),
-            field(proj.conic[:, 2]),
-            field(opacities.reshape(-1)),
-            field(colors[:, 0]),
-            field(colors[:, 1]),
-            field(colors[:, 2]),
-        ],
-        axis=1,
-    )  # (L, 9)
+    table = payload_table(proj, colors, opacities)  # (P_shard, FIELDS)
+    pf = jnp.where(
+        valid[:, None], jnp.take(table, safe, axis=0), 0.0
+    )  # (L, FIELDS)
     gid_global = jnp.where(valid, sorted_gid + dev * p_shard, -1)
 
     # ---- bucket by owner chip ------------------------------------------
