@@ -42,7 +42,7 @@ def main():
     # tile=32 is the production-fast configuration (pairs ~halve for
     # small-splat scenes; image differs from tile=16 only by sub-cutoff
     # tail contributions, mean |diff| ~2e-4 — tests/test_tile32.py).
-    cfg = RenderConfig(max_pairs=6_000_000, tile=32)
+    cfg = RenderConfig(max_pairs=4_500_000, tile=32)
 
     cam = look_at_camera(
         (3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
@@ -52,6 +52,15 @@ def main():
         n_gaussians, seed=0, extent=3.0, scale_range=(0.004, 0.02)
     )
     args = scene.render_args()
+
+    # capacity sanity: the bench scene must fit (overflow would silently
+    # drop entries and flatter the numbers)
+    from luisacomputegaussiansplatting_tpu.ops.render import render_aux
+
+    _, aux = jax.jit(lambda *a: render_aux(*a, cam, cfg=cfg))(*scene.render_args())
+    assert not bool(aux.overflow), (
+        f"bench capacity overflow: {int(aux.num_rendered)} > {cfg.max_pairs}"
+    )
 
     def loss(*a):
         return jnp.sum(render(*a, cam, cfg=cfg))
