@@ -144,7 +144,9 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig):
         precision=jax.lax.Precision.HIGHEST,
     )  # inclusive prefix over the gaussian axis
     t_after = t_in * jnp.exp(s_inc)
-    t_before = t_in * jnp.exp(s_inc - log1ma)
+    # t_before = t_in * exp(s_inc - log1ma) == t_after / (1 - alpha):
+    # one reciprocal instead of a second transcendental per pair
+    t_before = t_after / (1.0 - alpha)
     applied = (t_after >= cfg.transmittance_eps) & (alpha > 0.0)
     w = jnp.where(applied, t_before * alpha, 0.0)
     t_next = jnp.min(

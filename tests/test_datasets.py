@@ -1,0 +1,146 @@
+"""Dataset loader tests with generated on-disk fixtures.
+
+Covers the NeRF-blender (transforms_*.json) and COLMAP text-model
+formats — the formats of the reference's release scenes — plus the
+synthetic rigs and the checkpoint manager.
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from luisacomputegaussiansplatting_tpu.io.dataset import (
+    load_colmap_text,
+    load_nerf_synthetic,
+    sphere_cameras,
+    synthetic_multiview,
+    turntable_cameras,
+)
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def test_turntable_and_sphere_rigs_look_at_target():
+    for cams in (turntable_cameras(6, radius=3.0), sphere_cameras(6, radius=3.0)):
+        assert len(cams) == 6
+        for c in cams:
+            pos = np.asarray(c.position)
+            front = np.asarray(c.front)
+            assert abs(np.linalg.norm(pos) - 3.0) < 1e-6
+            # front points at the origin
+            np.testing.assert_allclose(
+                front, -pos / np.linalg.norm(pos), atol=1e-6
+            )
+            assert abs(np.linalg.norm(front) - 1.0) < 1e-6
+
+
+def test_nerf_synthetic_loader(tmp_path):
+    w, h = 20, 16
+    # OpenGL/NeRF c2w: camera at (0, 0, 4) looking down -z toward origin
+    c2w = np.eye(4)
+    c2w[2, 3] = 4.0
+    meta = {
+        "camera_angle_x": math.radians(60.0),
+        "frames": [
+            {"file_path": "./train/r_0", "transform_matrix": c2w.tolist()}
+        ],
+    }
+    (tmp_path / "train").mkdir()
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump(meta, f)
+    rgba = np.zeros((h, w, 4), np.uint8)
+    rgba[:, :, 0] = 200  # red, half-transparent
+    rgba[:, :, 3] = 128
+    _write_png(tmp_path / "train" / "r_0.png", rgba)
+
+    data = load_nerf_synthetic(str(tmp_path), white_background=True)
+    assert len(data) == 1
+    cam = data.cameras[0]
+    np.testing.assert_allclose(cam.position, (0, 0, 4), atol=1e-9)
+    np.testing.assert_allclose(cam.front, (0, 0, -1), atol=1e-9)
+    assert cam.width == w and cam.height == h
+    # fov_y from camera_angle_x scaled by aspect
+    expect_fovy = math.degrees(2 * math.atan(math.tan(math.radians(30)) * h / w))
+    assert abs(cam.fov - expect_fovy) < 1e-6
+    img = data.targets[0]
+    assert img.shape == (3, h, w)
+    # alpha compositing onto white: r = 200/255*0.5 + 0.5, g = b = 0.5
+    a = 128 / 255.0
+    np.testing.assert_allclose(img[0], (200 / 255) * a + (1 - a), atol=2.5e-3)
+    np.testing.assert_allclose(img[1], 1 - a, atol=2.5e-3)
+
+
+def test_colmap_text_loader(tmp_path):
+    w, h, f = 32, 24, 30.0
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    with open(sparse / "cameras.txt", "w") as fh:
+        fh.write("# comment\n")
+        fh.write(f"1 PINHOLE {w} {h} {f} {f} {w/2} {h/2}\n")
+    # identity rotation, camera at origin shifted: tvec = -R p => p = -tvec
+    with open(sparse / "images.txt", "w") as fh:
+        fh.write("# comment\n")
+        fh.write("1 1 0 0 0 0 0 -5 1 img0.png\n")  # qw qx qy qz tx ty tz
+        fh.write("\n")  # points2D line
+    (tmp_path / "images").mkdir()
+    _write_png(
+        tmp_path / "images" / "img0.png",
+        np.full((h, w, 3), 80, np.uint8),
+    )
+
+    data = load_colmap_text(str(tmp_path))
+    assert len(data) == 1
+    cam = data.cameras[0]
+    np.testing.assert_allclose(cam.position, (0, 0, 5), atol=1e-9)
+    np.testing.assert_allclose(cam.front, (0, 0, 1), atol=1e-9)  # +z forward
+    np.testing.assert_allclose(cam.up, (0, -1, 0), atol=1e-9)  # y-down flipped
+    expect_fovy = math.degrees(2 * math.atan(0.5 * h / f))
+    assert abs(cam.fov - expect_fovy) < 1e-6
+    assert data.targets[0].shape == (3, h, w)
+    np.testing.assert_allclose(data.targets[0], 80 / 255.0, atol=1e-3)
+
+
+def test_synthetic_multiview_targets_consistent():
+    from luisacomputegaussiansplatting_tpu.config import RenderConfig
+    from luisacomputegaussiansplatting_tpu.io.synthetic import create_cube_scene
+
+    scene = create_cube_scene(nx=3)
+    data = synthetic_multiview(
+        scene, n_views=3, width=48, height=32,
+        cfg=RenderConfig(max_pairs=30_000),
+    )
+    assert len(data) == 3
+    for t in data.targets:
+        assert t.shape == (3, 32, 48)
+        assert np.isfinite(t).all()
+    assert data.targets[0].std() > 0.01  # actual content
+    assert data.scene_extent > 0
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.models.checkpoint import (
+        CheckpointManager,
+    )
+
+    tree = {"a": jnp.arange(5.0), "b": (jnp.zeros((2, 3)), jnp.int32(7))}
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    mgr.save(10, tree)
+    tree2 = {"a": jnp.ones(5), "b": (jnp.ones((2, 3)), jnp.int32(0))}
+    mgr.save(20, tree2)
+    assert mgr.latest_step() == 20
+    step, restored = mgr.restore_latest(tree)
+    assert step == 20
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.ones(5))
+    assert int(restored["b"][1]) == 0
+    # restore a specific earlier step
+    old = mgr.restore(10, tree)
+    np.testing.assert_allclose(np.asarray(old["a"]), np.arange(5.0))
