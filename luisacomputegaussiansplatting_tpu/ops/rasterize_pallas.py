@@ -359,12 +359,27 @@ def _backward_kernel(
             out_sems.at[slot],
         )
 
+    def out_dma_slot0(c):
+        # fixed-slot variant for the zero-fill tail (serialized start/wait)
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            gbuf.at[0],
+            grads_hbm.at[:, pl.ds(off, CHUNK)],
+            out_sems.at[0],
+        )
+
     @pl.when(n_chunks > 0)
     def _():
         in_dma(0).start()
 
-    def body(c, carry):
-        t_in, prefix = carry  # (PIX, 1), (PIX, 1)
+    def cond(carry):
+        c, _t, _p, t_max = carry
+        # post-saturation chunks receive exactly zero gradients (applied
+        # is False for every pixel), so stop like the forward pass does
+        return (c < n_chunks) & (t_max >= cfg.transmittance_eps)
+
+    def body(carry):
+        c, t_in, prefix, _t_max = carry  # (PIX, 1), (PIX, 1)
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -416,19 +431,37 @@ def _backward_kernel(
 
         t_new = f["t_next"]
         prefix_new = prefix + jnp.sum(wb, axis=1, keepdims=True)
-        return (t_new, prefix_new)
+        return (c + 1, t_new, prefix_new, jnp.max(t_new))
 
-    init = (t0, jnp.zeros((pix, 1), jnp.float32))
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    init = (jnp.int32(0), t0, jnp.zeros((pix, 1), jnp.float32), jnp.float32(1.0))
+    c_f, _t, _p, _m = jax.lax.while_loop(cond, body, init)
 
-    # drain trailing output DMAs
-    @pl.when(n_chunks >= 2)
+    # drain the speculative input DMA if the loop exited early
+    @pl.when(c_f < n_chunks)
     def _():
-        out_dma(n_chunks - 2).wait()
+        in_dma(c_f).wait()
 
-    @pl.when(n_chunks >= 1)
+    # drain trailing output DMAs of the computed chunks
+    @pl.when(c_f >= 2)
     def _():
-        out_dma(n_chunks - 1).wait()
+        out_dma(c_f - 2).wait()
+
+    @pl.when(c_f >= 1)
+    def _():
+        out_dma(c_f - 1).wait()
+
+    # skipped chunks still own payload slots: write their zero gradients
+    @pl.when(c_f < n_chunks)
+    def _():
+        gbuf[0] = jnp.zeros((PAYLOAD_ROWS, CHUNK), jnp.float32)
+
+        def zero_body(c, _):
+            dma = out_dma_slot0(c)
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(c_f, n_chunks, zero_body, 0, unroll=False)
 
 
 def rasterize_backward(

@@ -127,3 +127,46 @@ def test_bg_gradient_exact(grads):
     t = np.asarray(aux.transmittance)
     want = (wimg * t[None]).sum(axis=(1, 2))
     np.testing.assert_allclose(np.asarray(g_pallas[5]), want, rtol=2e-4)
+
+
+def test_backward_early_exit_on_saturated_tile():
+    """Gradients on a saturating scene: the bwd kernel's early-exit path
+    must write exact zeros for post-saturation chunks, matching the
+    jnp-reference autodiff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from luisacomputegaussiansplatting_tpu.config import RenderConfig
+    from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+    from luisacomputegaussiansplatting_tpu.ops.render import render
+    from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+    cam = look_at_camera((0, 0, -3.0), (0, 0, 0), (0, 1, 0),
+                         fov=60.0, width=32, height=32)
+    # opaque wall: transmittance crosses 1e-4 well before the ranges end
+    scene = random_scene(600, seed=1, extent=0.5, scale_range=(0.2, 0.4))
+    scene = scene._replace(
+        opacities=np.full((600,), 0.85, np.float32).astype(np.float32)
+    )
+    wimg = jnp.asarray(
+        np.random.default_rng(2).normal(size=(3, 32, 32)), jnp.float32
+    )
+
+    def loss(cfg):
+        return lambda *a: jnp.sum(render(*a, cam, cfg=cfg) * wimg)
+
+    g_pallas = jax.jit(
+        jax.grad(loss(RenderConfig(max_pairs=16_000)), argnums=(0, 3))
+    )(*scene.render_args())
+    g_ref = jax.jit(
+        jax.grad(
+            loss(RenderConfig(max_pairs=16_000, rasterizer="jnp")),
+            argnums=(0, 3),
+        )
+    )(*scene.render_args())
+    for a, b in zip(g_pallas, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
