@@ -227,8 +227,14 @@ def main(argv=None):
                 flush=True,
             )
         if args.eval_every and (it + 1) % args.eval_every == 0:
+            from ..models.losses import ssim
+
             img = eval_render(state.params, dstate.active, views[0])
-            print(f"  eval view0 PSNR {psnr(img, targets[0]):.2f} dB")
+            s_val = float(ssim(jnp.clip(img, 0, 1), targets[0]))
+            print(
+                f"  eval view0 PSNR {psnr(img, targets[0]):.2f} dB  "
+                f"SSIM {s_val:.4f}"
+            )
         if ckpt and args.ckpt_every and (it + 1) % args.ckpt_every == 0:
             ckpt.save(it + 1, (state, dstate))
 
@@ -244,13 +250,19 @@ def main(argv=None):
     save_ply(packed, out_ply)
     print(f"saved {int(active.sum())} gaussians to {out_ply}")
 
+    from ..models.losses import ssim as _ssim
+
     img = eval_render(state.params, dstate.active, views[0])
     final_psnr = psnr(img, targets[0])
+    final_ssim = float(_ssim(jnp.clip(img, 0, 1), targets[0]))
     write_png(os.path.join(args.out, f"{name}_view0.png"), np.asarray(img),
               flip_vertical=False)
     write_png(os.path.join(args.out, f"{name}_view0_target.png"),
               np.asarray(targets[0]), flip_vertical=False)
-    print(f"final: loss {last_loss:.5f}, view0 PSNR {final_psnr:.2f} dB")
+    print(
+        f"final: loss {last_loss:.5f}, view0 PSNR {final_psnr:.2f} dB, "
+        f"SSIM {final_ssim:.4f}"
+    )
     return 0
 
 
