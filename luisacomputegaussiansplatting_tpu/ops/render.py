@@ -25,7 +25,7 @@ from .binning import BinnedGaussians, bin_gaussians
 from .projection import ProjectedGaussians, project_gaussians, tile_grid
 from .rasterize_pallas import FIELDS, PAYLOAD_ROWS, PIX, rasterize_tiles
 from .rasterize_ref import rasterize_reference
-from .segsum import reduce_rows_by_id
+from .segsum import reduce_fields_by_id
 from .sh_eval import compute_colors
 
 
@@ -82,9 +82,15 @@ def _gather_payload_fwd(table, entry_gid, n_rows: int):
 
 
 def _gather_payload_bwd(n_rows, entry_gid, d_payload):
-    d_rows = d_payload[:FIELDS].T  # (capacity, FIELDS)
+    # field-major reduction: d_payload's field rows ride the sort as
+    # lax.sort operands, skipping a 13M-row gather and a transpose
     interpret = jax.default_backend() != "tpu"
-    d_table = reduce_rows_by_id(entry_gid, d_rows, n_rows, interpret=interpret)
+    d_table = reduce_fields_by_id(
+        entry_gid,
+        tuple(d_payload[i] for i in range(FIELDS)),
+        n_rows,
+        interpret=interpret,
+    )
     d_gid = np.broadcast_to(
         np.zeros((), dtype=jax.dtypes.float0), entry_gid.shape
     )

@@ -148,7 +148,12 @@ def segment_sum_sorted(
     # tail pad so any 128-aligned (16, E)-chunk read stays in bounds
     tail = jnp.zeros((_ROWS, E), jnp.float32).at[cols, :].set(outside)
     table = jnp.concatenate([table, tail], axis=1)  # (_ROWS, L + E)
+    return _segsum_call(sorted_gid, table, n_out, cols, interpret)
 
+
+def _segsum_call(sorted_gid, table, n_out: int, cols: int, interpret: bool):
+    """Invoke the window kernel on a prebuilt (_ROWS, L + E) table."""
+    n_windows = max(1, -(-n_out // E))
     bounds = jnp.arange(n_windows + 1, dtype=jnp.int32) * E
     cuts = jnp.searchsorted(sorted_gid, bounds, side="left").astype(jnp.int32)
     ent_start, ent_end = cuts[:-1], cuts[1:]
@@ -198,3 +203,35 @@ def reduce_rows_by_id(gid, rows, n_out: int, interpret: bool = False):
         keep[:, None], jnp.take(rows, perm, axis=0), 0.0
     )
     return segment_sum_sorted(sorted_key, sorted_rows, n_out, interpret)
+
+
+def reduce_fields_by_id(gid, field_rows, n_out: int, interpret: bool = False):
+    """Like reduce_rows_by_id but for field-major input: the COLS field
+    rows ride the sort as extra lax.sort operands, skipping the row
+    gather and the pre-sort transpose of the row-major path.
+
+    Args:
+      gid: (L,) int32 in [-1, n_out); -1 rows are dropped.
+      field_rows: COLS-sequence of (L,) float32 (e.g. payload-gradient
+        rows straight off the backward kernel's field-major output).
+
+    Returns (n_out, COLS) float32 sums.
+    """
+    cols = len(field_rows)
+    L = gid.shape[0]
+    key = jnp.where(gid >= 0, gid, n_out)
+    sorted_all = jax.lax.sort((key, *field_rows), num_keys=1)
+    sorted_key, sorted_fields = sorted_all[0], sorted_all[1:]
+    keep = sorted_key < n_out
+
+    n_windows = max(1, -(-n_out // E))
+    outside = jnp.float32(n_windows * E)
+    ids_f = jnp.where(keep, sorted_key.astype(jnp.float32), outside)
+    pad = jnp.zeros((_ROWS - cols - 1, L), jnp.float32)
+    zeroed = [jnp.where(keep, f, 0.0) for f in sorted_fields]
+    table = jnp.concatenate(
+        [jnp.stack(zeroed, axis=0), ids_f[None, :], pad], axis=0
+    )
+    tail = jnp.zeros((_ROWS, E), jnp.float32).at[cols, :].set(outside)
+    table = jnp.concatenate([table, tail], axis=1)
+    return _segsum_call(sorted_key, table, n_out, cols, interpret)

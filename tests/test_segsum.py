@@ -118,3 +118,22 @@ def test_gather_payload_grad_matches_dense():
     g = jax.grad(f)(table)
     g_ref = jax.grad(f_ref)(table)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_reduce_fields_matches_rows():
+    from luisacomputegaussiansplatting_tpu.ops.segsum import (
+        reduce_fields_by_id,
+        reduce_rows_by_id,
+    )
+
+    rng = np.random.default_rng(9)
+    n_out, L = 200, 9000
+    gid = jnp.asarray(rng.integers(-1, n_out, L).astype(np.int32))
+    rows = rng.normal(size=(L, 9)).astype(np.float32)
+    rows[np.asarray(gid) == -1] = np.nan  # dropped garbage must not leak
+    a = reduce_rows_by_id(gid, jnp.asarray(rows), n_out, interpret=True)
+    b = reduce_fields_by_id(
+        gid, tuple(jnp.asarray(rows[:, i]) for i in range(9)), n_out,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
