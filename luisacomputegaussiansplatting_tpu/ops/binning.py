@@ -158,6 +158,57 @@ def pack_ranges(sorted_tile, num_tiles: int, capacity: int):
     return src, in_range, slot_tile, padded_start.astype(jnp.int32), padded_len.astype(jnp.int32)
 
 
+class NoPackBinned(NamedTuple):
+    """Splat entries sorted by (tile, depth) with raw (unpadded) ranges.
+
+    The rasterizer's no-pack mode reads each tile's range directly from
+    the sorted stream at 128-aligned over-read offsets, masking entries
+    outside [start, start + count) by their global index — so no
+    CHUNK-repacking pass and no slot->sorted-index remap gather exist.
+    ``entry_gid`` IS the sorted gaussian-id stream (plus a CHUNK of -1
+    tail padding so aligned over-reads stay in bounds).
+    """
+
+    entry_gid: jnp.ndarray  # (max_pairs + CHUNK,) int32, -1 = pad
+    entry_tile: jnp.ndarray  # (max_pairs + CHUNK,) int32 owning tile
+    tile_starts: jnp.ndarray  # (num_tiles,) int32 (NOT aligned)
+    tile_counts: jnp.ndarray  # (num_tiles,) int32 (NOT padded)
+    num_rendered: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # () bool
+
+
+def bin_gaussians_nopack(
+    proj: ProjectedGaussians,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+) -> NoPackBinned:
+    """Expand and sort splat entries; ranges stay unpadded (no-pack mode)."""
+    num_tiles = grid_x * grid_y
+    tile_id, depth, gid, total = expand_entries(proj, grid_x, num_tiles, max_pairs)
+    overflow = total > max_pairs
+
+    sorted_tile, _d, sorted_gid = jax.lax.sort(
+        (tile_id, depth, gid), num_keys=2, is_stable=True
+    )
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+
+    pad = jnp.full((CHUNK,), -1, jnp.int32)
+    return NoPackBinned(
+        entry_gid=jnp.concatenate([sorted_gid, pad]),
+        entry_tile=jnp.concatenate(
+            [sorted_tile, jnp.full((CHUNK,), num_tiles, jnp.int32)]
+        ),
+        tile_starts=start,
+        tile_counts=end - start,
+        num_rendered=jnp.minimum(total, max_pairs).astype(jnp.int32),
+        overflow=overflow,
+    )
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     grid_x: int,

@@ -108,7 +108,7 @@ def _pixel_coords(tile_idx, grid_x: int, width: int, height: int, tile: int):
     return ix.astype(jnp.float32), iy.astype(jnp.float32), t0
 
 
-def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig):
+def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
     """Shared forward math for one chunk.
 
     Args:
@@ -116,6 +116,9 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig):
       px, py: (PIX, 1) pixel coordinates.
       t_in: (PIX, 1) incoming transmittance.
       ut: (CHUNK, CHUNK) upper-triangular ones.
+      range_mask: optional (1, CHUNK) bool; False lanes are neighbour-tile
+        entries from an aligned over-read (pack_mode "none") and must not
+        contribute.
 
     Returns dict of (PIX, CHUNK) / (PIX, 1) intermediates.
     """
@@ -134,6 +137,8 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig):
     clamped = alpha_raw > cfg.alpha_max
     alpha = jnp.minimum(alpha_raw, cfg.alpha_max)
     live = (power <= 0.0) & (alpha >= cfg.alpha_min)
+    if range_mask is not None:
+        live = live & range_mask
     alpha = jnp.where(live, alpha, 0.0)
 
     log1ma = jnp.log1p(-alpha)
@@ -188,18 +193,29 @@ def _forward_kernel(
 ):
     tile = pl.program_id(0)
     start = starts_ref[tile]
-    n_chunks = counts_ref[tile] // CHUNK
+    count = counts_ref[tile]
+    packed = cfg.pack_mode == "chunk"
+    if packed:
+        base = start
+        n_chunks = count // CHUNK
+    else:
+        # raw sorted ranges: read from the 128-aligned chunk grid and mask
+        # neighbour-tile entries by their global index
+        base = (start // CHUNK) * CHUNK
+        end = start + count
+        n_chunks = jnp.where(count > 0, (end - base + CHUNK - 1) // CHUNK, 0)
 
     pix = cfg.tile * cfg.tile
     # tile-sharded strips: offset_ref[0] is this shard's first global tile
     px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, cfg.tile)
     ut = _upper_triangular()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     def chunk_dma(c):
         slot = jax.lax.rem(c, 2)
-        # binning guarantees CHUNK-aligned tile starts; tell Mosaic so it
-        # can prove the lane-tiling divisibility of the slice offset
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        # the chunk grid is CHUNK-aligned by construction; tell Mosaic so
+        # it can prove the lane-tiling divisibility of the slice offset
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(off, CHUNK)],
             buf.at[slot],
@@ -223,7 +239,12 @@ def _forward_kernel(
 
         chunk_dma(c).wait()
         cur = buf[jax.lax.rem(c, 2)]
-        f = _chunk_blend(cur, px, py, t_in, ut, cfg)
+        if packed:
+            rmask = None
+        else:
+            idx = base + c * CHUNK + lane
+            rmask = (idx >= start) & (idx < end)
+        f = _chunk_blend(cur, px, py, t_in, ut, cfg, rmask)
         w = f["w"]
         cr = cr + jnp.sum(w * cur[6:7, :], axis=1, keepdims=True)
         cg = cg + jnp.sum(w * cur[7:8, :], axis=1, keepdims=True)
@@ -310,8 +331,10 @@ def _backward_kernel(
     grads_hbm,
     buf,
     gbuf,
+    rgbuf,
     sems,
     out_sems,
+    rmw_sem,
     *,
     grid_x: int,
     width: int,
@@ -322,11 +345,20 @@ def _backward_kernel(
     [7] T_final, each (PIX,)."""
     tile = pl.program_id(0)
     start = starts_ref[tile]
-    n_chunks = counts_ref[tile] // CHUNK
+    count = counts_ref[tile]
+    packed = cfg.pack_mode == "chunk"
+    if packed:
+        base = start
+        n_chunks = count // CHUNK
+    else:
+        base = (start // CHUNK) * CHUNK
+        end = start + count
+        n_chunks = jnp.where(count > 0, (end - base + CHUNK - 1) // CHUNK, 0)
     pix = cfg.tile * cfg.tile
 
     px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, cfg.tile)
     ut = _upper_triangular()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     res = res_ref[0]  # (pix, 8)
     g_r = res[:, 0:1]
@@ -343,7 +375,7 @@ def _backward_kernel(
 
     def in_dma(c):
         slot = jax.lax.rem(c, 2)
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(off, CHUNK)],
             buf.at[slot],
@@ -352,7 +384,7 @@ def _backward_kernel(
 
     def out_dma(c):
         slot = jax.lax.rem(c, 2)
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             gbuf.at[slot],
             grads_hbm.at[:, pl.ds(off, CHUNK)],
@@ -361,16 +393,46 @@ def _backward_kernel(
 
     def out_dma_slot0(c):
         # fixed-slot variant for the zero-fill tail (serialized start/wait)
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             gbuf.at[0],
             grads_hbm.at[:, pl.ds(off, CHUNK)],
             out_sems.at[0],
         )
 
+    def rmw_in_dma(c, slot_buf, sem):
+        # read the existing boundary chunk (written by the previous tile)
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            grads_hbm.at[:, pl.ds(off, CHUNK)],
+            slot_buf,
+            sem,
+        )
+
+    # no-pack: a misaligned head means chunk 0 is shared with the previous
+    # tile's write; its gradients must be ADDED (the previous tile wrote
+    # zeros at our lanes, we add zeros at its lanes). The sequential grid
+    # plus full end-of-step DMA drains order the accesses.
+    head_shared = jnp.logical_and(n_chunks > 0, base < start) if not packed else None
+
     @pl.when(n_chunks > 0)
     def _():
         in_dma(0).start()
+
+    if not packed:
+        # chunk 0 may be shared with the previous tile's write: fetch its
+        # current contents so our chunk-0 store ADDS instead of clobbers
+        # (the previous tile wrote zeros at our lanes and vice versa)
+        @pl.when(head_shared)
+        def _():
+            dma = rmw_in_dma(0, rgbuf, rmw_sem)
+            dma.start()
+            dma.wait()
+
+        @pl.when(jnp.logical_not(head_shared))
+        def _():
+            # 0 * uninitialised-VMEM could be NaN: keep the add a no-op
+            rgbuf[...] = jnp.zeros((PAYLOAD_ROWS, CHUNK), jnp.float32)
 
     def cond(carry):
         c, _t, _p, t_max = carry
@@ -388,7 +450,12 @@ def _backward_kernel(
         in_dma(c).wait()
         slot = jax.lax.rem(c, 2)
         cur = buf[slot]
-        f = _chunk_blend(cur, px, py, t_in, ut, cfg)
+        if packed:
+            rmask = None
+        else:
+            idx = base + c * CHUNK + lane
+            rmask = (idx >= start) & (idx < end)
+        f = _chunk_blend(cur, px, py, t_in, ut, cfg, rmask)
         alpha, w, applied = f["alpha"], f["w"], f["applied"]
         dx, dy, g = f["dx"], f["dy"], f["g"]
 
@@ -424,9 +491,15 @@ def _backward_kernel(
             out_dma(c - 2).wait()
 
         pad = jnp.zeros((PAYLOAD_ROWS - 9, CHUNK), jnp.float32)
-        gbuf[slot] = jnp.concatenate(
+        gvals = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, pad], axis=0
         )
+        if not packed:
+            take_prev = (
+                jnp.logical_and(c == 0, head_shared)
+            ).astype(jnp.float32)
+            gvals = gvals + take_prev * rgbuf[...]
+        gbuf[slot] = gvals
         out_dma(c).start()
 
         t_new = f["t_next"]
@@ -454,6 +527,14 @@ def _backward_kernel(
     @pl.when(c_f < n_chunks)
     def _():
         gbuf[0] = jnp.zeros((PAYLOAD_ROWS, CHUNK), jnp.float32)
+        if packed:
+            zero_from = c_f
+        else:
+            # a shared, never-computed head chunk must keep the previous
+            # tile's values (our contribution there is exactly zero)
+            zero_from = jnp.where(
+                jnp.logical_and(c_f == 0, head_shared), 1, c_f
+            )
 
         def zero_body(c, _):
             dma = out_dma_slot0(c)
@@ -461,7 +542,7 @@ def _backward_kernel(
             dma.wait()
             return 0
 
-        jax.lax.fori_loop(c_f, n_chunks, zero_body, 0, unroll=False)
+        jax.lax.fori_loop(zero_from, n_chunks, zero_body, 0, unroll=False)
 
 
 def rasterize_backward(
@@ -502,19 +583,24 @@ def rasterize_backward(
         scratch_shapes=[
             pltpu.VMEM((2, PAYLOAD_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, PAYLOAD_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((PAYLOAD_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(
         _backward_kernel, grid_x=grid_x, width=width, height=height, cfg=cfg
     )
+    # no-pack boundary chunks are read-modify-written across neighbouring
+    # grid steps: the grid must stay sequential in that mode
+    semantics = "parallel" if cfg.pack_mode == "chunk" else "arbitrary"
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(payload.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=(semantics,),
         ),
         interpret=_should_interpret(cfg),
     )(tile_starts, tile_counts, tile_offset, payload, residual)

@@ -21,7 +21,7 @@ import numpy as np
 from ..config import TILE, RenderConfig
 from ..utils.camera import Camera, CameraView
 from ..utils.packing import stack_cols, unstack_cols
-from .binning import BinnedGaussians, bin_gaussians
+from .binning import BinnedGaussians, bin_gaussians, bin_gaussians_nopack
 from .projection import ProjectedGaussians, project_gaussians, tile_grid
 from .rasterize_pallas import FIELDS, PAYLOAD_ROWS, PIX, rasterize_tiles
 from .rasterize_ref import rasterize_reference
@@ -156,7 +156,12 @@ def render_view(
         means2d_probe=means2d_probe,
     )
     grid_x, grid_y = tile_grid(width, height, cfg.tile)
-    binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
+    if cfg.pack_mode == "chunk":
+        binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
+    elif cfg.pack_mode == "none":
+        binned = bin_gaussians_nopack(proj, grid_x, grid_y, cfg.max_pairs)
+    else:
+        raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")
     payload = build_payload(proj, colors, opacities, binned)
 
     if cfg.rasterizer == "pallas":
