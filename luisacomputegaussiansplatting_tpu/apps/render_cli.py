@@ -61,6 +61,9 @@ def build_parser():
     p.add_argument("--tile", type=int, default=16, choices=[16, 32],
                    help="rasterizer tile edge; 32 is faster for scenes of "
                         "small splats (minor border differences)")
+    p.add_argument("--pack", choices=["chunk", "none"], default="chunk",
+                   help="'none' skips range repacking (faster; identical "
+                        "up to float reduction order)")
     return p
 
 
@@ -99,7 +102,8 @@ def main(argv=None):
     cam = look_at_camera(
         args.cam_pos, args.cam_target, world_up, fov=args.fov, width=w, height=h
     )
-    cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile)
+    cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
+                       pack_mode=args.pack)
     print(f"num_gaussians: {scene.num_gaussians}")
     print(f"rendering {w}x{h} on {jax.default_backend()} ({len(jax.devices())} device(s))")
 

@@ -45,6 +45,10 @@ def build_parser():
     p.add_argument("--res", type=str, default="256x256", help="synthetic-gt resolution")
     p.add_argument("--iters", type=int, default=2000)
     p.add_argument("--max-pairs", type=int, default=1_000_000)
+    p.add_argument("--tile", type=int, default=16, choices=[16, 32])
+    p.add_argument("--pack", choices=["chunk", "none"], default="none",
+                   help="rasterizer range layout; 'none' is faster and the "
+                        "training default")
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--densify-from", type=int, default=100)
     p.add_argument("--densify-until", type=int, default=None,
@@ -149,7 +153,8 @@ def main(argv=None):
     dstate = init_densify_state(n0, args.capacity)
     print(f"init: {n0} gaussians, capacity {args.capacity}")
 
-    cfg = RenderConfig(max_pairs=args.max_pairs)
+    cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
+                       pack_mode=args.pack)
     bg = (1.0, 1.0, 1.0) if args.bg == "white" else (0.0, 0.0, 0.0)
     tc = TrainConfig()
     dcfg = DensifyConfig(grad_threshold=args.grad_threshold)
