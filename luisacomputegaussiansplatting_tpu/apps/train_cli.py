@@ -50,6 +50,12 @@ def build_parser():
                    help="rasterizer range layout; 'none' is faster and the "
                         "training default")
     p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--sh-upgrade-every", type=int, default=1000,
+                   help="raise the active SH degree by one every N iters "
+                        "(graphdeco oneupSHdegree); 0 = full degree always")
+    p.add_argument("--views-per-step", type=int, default=1,
+                   help="views rendered per optimiser step (vmapped batch; "
+                        "TPUs amortise binning/sort over the batch)")
     p.add_argument("--densify-from", type=int, default=100)
     p.add_argument("--densify-until", type=int, default=None,
                    help="default iters // 2")
@@ -158,9 +164,25 @@ def main(argv=None):
     bg = (1.0, 1.0, 1.0) if args.bg == "white" else (0.0, 0.0, 0.0)
     tc = TrainConfig()
     dcfg = DensifyConfig(grad_threshold=args.grad_threshold)
-    step_fn = make_densify_train_step(
-        opt, width, height, cfg=cfg, sh_degree=args.sh_degree, tc=tc, bg_color=bg
-    )
+    from ..models.trainer import make_batched_train_step
+
+    # one step function per active SH degree (graphdeco raises the degree
+    # during training; each degree is its own compiled program)
+    _step_cache = {}
+
+    def step_for_degree(deg: int):
+        if deg not in _step_cache:
+            if args.views_per_step > 1:
+                _step_cache[deg] = make_batched_train_step(
+                    opt, width, height, cfg=cfg, sh_degree=deg, tc=tc,
+                    bg_color=bg,
+                )
+            else:
+                _step_cache[deg] = make_densify_train_step(
+                    opt, width, height, cfg=cfg, sh_degree=deg, tc=tc,
+                    bg_color=bg,
+                )
+        return _step_cache[deg]
     densify_fn = jax.jit(
         lambda p, o, d, k: densify_step(
             p, o, d, k, data.scene_extent, dcfg
@@ -197,8 +219,27 @@ def main(argv=None):
     t0 = time.perf_counter()
     last_loss = float("nan")
     for it in range(start_iter, args.iters):
-        vi = int(rng.integers(0, len(data)))
-        state, dstate, loss, aux = step_fn(state, dstate, views[vi], targets[vi])
+        if args.sh_upgrade_every > 0:
+            deg = min(args.sh_degree, it // args.sh_upgrade_every)
+        else:
+            deg = args.sh_degree
+        step_fn = step_for_degree(deg)
+        if args.views_per_step > 1:
+            vis = rng.choice(
+                len(data),
+                size=args.views_per_step,
+                replace=args.views_per_step > len(data),
+            )
+            v_batch = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[views[v] for v in vis]
+            )
+            t_batch = jnp.stack([targets[v] for v in vis])
+            state, dstate, loss = step_fn(state, dstate, v_batch, t_batch)
+        else:
+            vi = int(rng.integers(0, len(data)))
+            state, dstate, loss, aux = step_fn(
+                state, dstate, views[vi], targets[vi]
+            )
 
         do_densify = (
             args.densify_from <= it < densify_until

@@ -25,9 +25,18 @@ from .losses import d_ssim_l1_loss
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
-    """Learning rates per parameter group (graphdeco defaults)."""
+    """Learning rates per parameter group (graphdeco defaults).
+
+    The position (means) learning rate follows graphdeco's exponential
+    decay from lr_means to lr_means_final over lr_means_decay_steps
+    (their get_expon_lr_func; scale the init/final rates by the scene
+    extent as their spatial_lr_scale does). Set lr_means_decay_steps=0
+    for a constant rate.
+    """
 
     lr_means: float = 1.6e-4
+    lr_means_final: float = 1.6e-6
+    lr_means_decay_steps: int = 30_000
     lr_scales: float = 5e-3
     lr_quats: float = 1e-3
     lr_opacity: float = 5e-2
@@ -43,6 +52,17 @@ def make_optimizer(tc: TrainConfig = TrainConfig()) -> optax.GradientTransformat
     def adam(lr):
         return optax.adam(lr, eps=tc.adam_eps)
 
+    if tc.lr_means_decay_steps > 0:
+        means_lr = optax.exponential_decay(
+            init_value=tc.lr_means,
+            transition_steps=tc.lr_means_decay_steps,
+            decay_rate=tc.lr_means_final / tc.lr_means,
+            end_value=tc.lr_means_final,
+        )
+        adam_means = optax.adam(means_lr, eps=tc.adam_eps)
+    else:
+        adam_means = adam(tc.lr_means)
+
     labels = GaussianParams(
         means="means",
         log_scales="scales",
@@ -53,7 +73,7 @@ def make_optimizer(tc: TrainConfig = TrainConfig()) -> optax.GradientTransformat
     )
     return optax.multi_transform(
         {
-            "means": adam(tc.lr_means),
+            "means": adam_means,
             "scales": adam(tc.lr_scales),
             "quats": adam(tc.lr_quats),
             "opacity": adam(tc.lr_opacity),
@@ -195,6 +215,82 @@ def make_densify_train_step(
             new_dstate,
             loss,
             aux,
+        )
+
+    return step
+
+
+def make_batched_train_step(
+    opt: optax.GradientTransformation,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    sh_degree: int = 3,
+    tc: TrainConfig = TrainConfig(),
+    bg_color=(0.0, 0.0, 0.0),
+):
+    """Densify-aware step over a BATCH of views (vmapped render).
+
+    TPUs amortise the per-step binning/sort far better over several
+    views at once; graphdeco trains one view per step because its CUDA
+    rasterizer is single-view. Densification stats: probe-grad norms are
+    summed over the batch, visibility counts add 1 per view seen,
+    max radii take the batch max.
+
+    Returns step(state, dstate, views, targets) with views a stacked
+    CameraView pytree (B, ...) and targets (B, 3, H, W).
+    """
+    from .densify import DensifyState
+
+    @jax.jit
+    def step(state: TrainState, dstate, views: CameraView, targets):
+        n = state.params.means.shape[0]
+        probe = jnp.zeros((n, 2), jnp.float32)
+
+        def loss_fn(params: GaussianParams, probe):
+            scene = params.activate()
+
+            def one(view, target):
+                img, aux = render_view(
+                    scene.means,
+                    scene.scales,
+                    scene.quats,
+                    scene.opacities,
+                    scene.sh,
+                    view,
+                    width,
+                    height,
+                    bg_color,
+                    cfg,
+                    sh_degree,
+                    active_mask=dstate.active,
+                    means2d_probe=probe,
+                )
+                return d_ssim_l1_loss(img, target, tc.ssim_weight), aux.radii
+
+            losses, radii = jax.vmap(one)(views, targets)
+            return jnp.mean(losses), radii
+
+        (loss, radii), (grads, probe_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, probe)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # probe_grad already sums the per-view screen-space gradients
+        visible = radii > 0  # (B, N)
+        g = jnp.sqrt(jnp.sum(probe_grad * probe_grad, axis=1))
+        seen = jnp.any(visible, axis=0)
+        new_dstate = DensifyState(
+            grad_sum=dstate.grad_sum + jnp.where(seen, g, 0.0),
+            count=dstate.count + jnp.sum(visible, axis=0).astype(jnp.float32),
+            max_radii=jnp.maximum(dstate.max_radii, jnp.max(radii, axis=0)),
+            active=dstate.active,
+        )
+        return (
+            TrainState(new_params, new_opt, state.step + 1),
+            new_dstate,
+            loss,
         )
 
     return step

@@ -76,3 +76,55 @@ def test_fit_tiny_scene():
     img_final = render(*state.params.activate().render_args(), cam, cfg=cfg)
     img_start = render(*params.activate().render_args(), cam, cfg=cfg)
     assert float(psnr(img_final, target)) > float(psnr(img_start, target)) + 3
+
+
+def test_batched_train_step_fits():
+    """Multi-view batched step: loss over 3 views drops; densify stats
+    accumulate across the batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from luisacomputegaussiansplatting_tpu.config import RenderConfig
+    from luisacomputegaussiansplatting_tpu.io.dataset import synthetic_multiview
+    from luisacomputegaussiansplatting_tpu.io.synthetic import create_cube_scene
+    from luisacomputegaussiansplatting_tpu.models.densify import (
+        init_densify_state,
+    )
+    from luisacomputegaussiansplatting_tpu.models.gaussians import (
+        pad_params_to,
+    )
+    from luisacomputegaussiansplatting_tpu.models.trainer import (
+        init_train_state,
+        make_batched_train_step,
+    )
+
+    w = h = 48
+    cfg = RenderConfig(max_pairs=20_000)
+    gt = create_cube_scene(nx=3, scale=0.12, opacity=0.9)
+    data = synthetic_multiview(gt, n_views=3, width=w, height=h, cfg=cfg)
+    views = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[c.to_view() for c in data.cameras]
+    )
+    targets = jnp.stack([jnp.asarray(t) for t in data.targets])
+
+    n0, cap = 27, 64
+    params = pad_params_to(gt.to_params(), cap)
+    # perturb away from the optimum
+    rng = np.random.default_rng(0)
+    params = params._replace(
+        means=params.means + jnp.asarray(
+            rng.normal(0, 0.05, params.means.shape), jnp.float32
+        )
+    )
+    state, opt = init_train_state(params)
+    dstate = init_densify_state(n0, cap)
+    step = make_batched_train_step(opt, w, h, cfg=cfg)
+
+    losses = []
+    for _ in range(25):
+        state, dstate, loss = step(state, dstate, views, targets)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses[::8]
+    assert int(jnp.sum((dstate.count > 0))) > 0
+    assert float(dstate.count.max()) >= 3.0  # visible in all 3 views
