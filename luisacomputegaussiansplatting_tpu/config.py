@@ -78,6 +78,16 @@ class RenderConfig:
     #: maximum number of (tile, depth) pairs before per-tile chunk padding.
     max_pairs: int = 2_000_000
 
+    #: exact ellipse-tile culling during binning: drop AABB entries whose
+    #: tile cannot receive any alpha >= 1/255 contribution (closed-form
+    #: minimum of the conic quadratic over the tile). Output exact up to
+    #: float summation regrouping. Measured on v5e: the per-slot test
+    #: (wider gather + edge math over the full capacity) costs more than
+    #: the 20-30% shorter rasterizer ranges save, so OFF by default —
+    #: worth enabling only for extremely anisotropic scenes, and the
+    #: natural home for the test is a future fused expansion kernel.
+    tile_cull: bool = False
+
     #: splat-entry layout for the rasterizer. "chunk" (reference-faithful
     #: packing): every tile's sorted range is repacked to CHUNK-aligned
     #: offsets. "none": kernels read the raw sorted stream at 128-aligned

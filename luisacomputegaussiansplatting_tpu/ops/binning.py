@@ -70,7 +70,15 @@ def forward_fill_ids(starts, valid, capacity: int):
     return jax.lax.cummax(heads)
 
 
-def expand_entries(proj: ProjectedGaussians, grid_x: int, num_tiles: int, max_pairs: int):
+def expand_entries(
+    proj: ProjectedGaussians,
+    grid_x: int,
+    num_tiles: int,
+    max_pairs: int,
+    opacities=None,
+    tile: int = 16,
+    alpha_min: float = 1.0 / 255.0,
+):
     """Expand each gaussian's tile rect into one entry per touched tile.
 
     Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
@@ -78,40 +86,99 @@ def expand_entries(proj: ProjectedGaussians, grid_x: int, num_tiles: int, max_pa
     Emission order within a gaussian is y-outer/x-inner, matching the
     reference key scatter (gs_tile_splatter/shader.cpp:55-67).
 
-    All per-slot lookups ride ONE row gather from a packed (P, 4) int32
+    All per-slot lookups ride ONE row gather from a packed (P, K) int32
     table (XLA TPU gathers cost per row, nearly independent of width):
     col 0 = start offset, col 1 = rect_min_x | rect_min_y << 16,
     col 2 = rect width, col 3 = depth float bits (monotone for the
-    positive, near-culled depths that reach binning).
+    positive, near-culled depths that reach binning); with ``opacities``
+    given, cols 4-9 carry mean/conic/opacity float bits.
+
+    Ellipse-tile culling (exact): when ``opacities`` is provided, an
+    entry whose tile cannot receive any alpha >= alpha_min contribution
+    is invalidated. The minimum of the conic quadratic over the tile's
+    pixel-centre box is computed in closed form (interior, else the best
+    of the four edge-constrained minimizers of the convex quadratic), so
+    only entries the rasterizer would skip at every pixel are dropped —
+    image and gradients are exact up to summation regrouping (removed
+    zeros shift chunk boundaries), and per-tile ranges shrink by the
+    AABB-vs-ellipse overcount.
     """
     counts = proj.tiles_touched.astype(jnp.int32)  # (P,)
     ends = jnp.cumsum(counts)
     starts = ends - counts
     total = ends[-1] if counts.shape[0] > 0 else jnp.int32(0)
 
-    table = jnp.stack(
-        [
-            starts,
-            proj.rect_min[:, 0] | (proj.rect_min[:, 1] << 16),
-            jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
-            jax.lax.bitcast_convert_type(
-                proj.depth.astype(jnp.float32), jnp.int32
-            ),
-        ],
-        axis=1,
-    )  # (P, 4) int32
+    def fbits(x):
+        return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+    cols = [
+        starts,
+        proj.rect_min[:, 0] | (proj.rect_min[:, 1] << 16),
+        jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
+        fbits(proj.depth),
+    ]
+    if opacities is not None:
+        cols += [
+            fbits(proj.means2d[:, 0]),
+            fbits(proj.means2d[:, 1]),
+            fbits(proj.conic[:, 0]),
+            fbits(proj.conic[:, 1]),
+            fbits(proj.conic[:, 2]),
+            fbits(opacities.reshape(-1)),
+        ]
+    table = jnp.stack(cols, axis=1)  # (P, 4 or 10) int32
 
     slot_gid = forward_fill_ids(starts, proj.valid, max_pairs)  # (L,)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     slot_valid = slot < jnp.minimum(total, max_pairs)
 
-    g = jnp.take(table, slot_gid, axis=0)  # (L, 4) — the one gather
+    g = jnp.take(table, slot_gid, axis=0)  # (L, K) — the one gather
     local = slot - g[:, 0]
     min_x = g[:, 1] & 0xFFFF
     min_y = g[:, 1] >> 16
     rect_w = g[:, 2]
     tile_x = min_x + local % rect_w
     tile_y = min_y + local // rect_w
+
+    if opacities is not None:
+        def f32(col):
+            return jax.lax.bitcast_convert_type(g[:, col], jnp.float32)
+
+        mx, my = f32(4), f32(5)
+        ca, cb, cc = f32(6), f32(7), f32(8)
+        op = f32(9)
+        # tile pixel-centre box (pixels sit at integer coordinates)
+        x0 = (tile_x * tile).astype(jnp.float32)
+        x1 = x0 + (tile - 1)
+        y0 = (tile_y * tile).astype(jnp.float32)
+        y1 = y0 + (tile - 1)
+        inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
+
+        def q(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(xe):
+            dx = xe - mx
+            ys = jnp.clip(my - (cb / jnp.maximum(cc, 1e-12)) * dx, y0, y1)
+            return q(dx, ys - my)
+
+        def edge_y(ye):
+            dy = ye - my
+            xs = jnp.clip(mx - (cb / jnp.maximum(ca, 1e-12)) * dy, x0, x1)
+            return q(xs - mx, dy)
+
+        q_min = jnp.where(
+            inside,
+            0.0,
+            jnp.minimum(
+                jnp.minimum(edge_x(x0), edge_x(x1)),
+                jnp.minimum(edge_y(y0), edge_y(y1)),
+            ),
+        )
+        # alpha = op * exp(-q) >= alpha_min  <=>  q <= log(op / alpha_min)
+        reaches = q_min <= jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
+        slot_valid = slot_valid & reaches
+
     tile_id = tile_x + tile_y * grid_x
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)
     depth = jnp.where(
@@ -182,10 +249,15 @@ def bin_gaussians_nopack(
     grid_x: int,
     grid_y: int,
     max_pairs: int,
+    opacities=None,
+    tile: int = 16,
+    alpha_min: float = 1.0 / 255.0,
 ) -> NoPackBinned:
     """Expand and sort splat entries; ranges stay unpadded (no-pack mode)."""
     num_tiles = grid_x * grid_y
-    tile_id, depth, gid, total = expand_entries(proj, grid_x, num_tiles, max_pairs)
+    tile_id, depth, gid, total = expand_entries(
+        proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min
+    )
     overflow = total > max_pairs
 
     sorted_tile, _d, sorted_gid = jax.lax.sort(
@@ -214,13 +286,18 @@ def bin_gaussians(
     grid_x: int,
     grid_y: int,
     max_pairs: int,
+    opacities=None,
+    tile: int = 16,
+    alpha_min: float = 1.0 / 255.0,
 ) -> BinnedGaussians:
     """Expand, sort and tile-pack splat entries (single-shard path).
 
     Returns BinnedGaussians with ``capacity = max_pairs + num_tiles*CHUNK``.
     """
     num_tiles = grid_x * grid_y
-    tile_id, depth, gid, total = expand_entries(proj, grid_x, num_tiles, max_pairs)
+    tile_id, depth, gid, total = expand_entries(
+        proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min
+    )
     overflow = total > max_pairs
 
     # stable sort so depth ties keep gaussian order, matching the

@@ -156,10 +156,17 @@ def render_view(
         means2d_probe=means2d_probe,
     )
     grid_x, grid_y = tile_grid(width, height, cfg.tile)
+    cull_op = opacities if cfg.tile_cull else None
     if cfg.pack_mode == "chunk":
-        binned = bin_gaussians(proj, grid_x, grid_y, cfg.max_pairs)
+        binned = bin_gaussians(
+            proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
+            cfg.alpha_min,
+        )
     elif cfg.pack_mode == "none":
-        binned = bin_gaussians_nopack(proj, grid_x, grid_y, cfg.max_pairs)
+        binned = bin_gaussians_nopack(
+            proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
+            cfg.alpha_min,
+        )
     else:
         raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")
     payload = build_payload(proj, colors, opacities, binned)

@@ -105,3 +105,49 @@ def test_empty_scene():
     assert int(binned.num_rendered) == 0
     assert np.all(np.asarray(binned.tile_counts) == 0)
     assert np.all(np.asarray(binned.entry_gid) == -1)
+
+
+def test_tile_cull_is_output_exact():
+    """Ellipse-tile culling drops entries but must be render-exact."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from luisacomputegaussiansplatting_tpu.config import RenderConfig
+    from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+    from luisacomputegaussiansplatting_tpu.ops.render import render_aux
+    from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+    cam = look_at_camera((3.0, -2.5, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=96, height=64)
+    # anisotropic splats: the AABB heavily overcounts vs the ellipse
+    scene = random_scene(800, seed=17, extent=1.5, scale_range=(0.01, 0.2))
+    on = RenderConfig(max_pairs=120_000, tile_cull=True)
+    off = RenderConfig(max_pairs=120_000, tile_cull=False)
+    img_on, aux_on = jax.jit(lambda *a: render_aux(*a, cam, cfg=on))(
+        *scene.render_args()
+    )
+    img_off, aux_off = jax.jit(lambda *a: render_aux(*a, cam, cfg=off))(
+        *scene.render_args()
+    )
+    # removed entries contribute exactly zero, but their absence regroups
+    # the chunked prefix sums: agreement is ulp-level, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(img_on), np.asarray(img_off), atol=1e-6
+    )
+    # gradients identical too
+    import jax.numpy as jnp
+
+    g_on = jax.jit(jax.grad(
+        lambda *a: jnp.sum(jnp.sin(render_aux(*a, cam, cfg=on)[0])),
+        argnums=(0, 3),
+    ))(*scene.render_args())
+    g_off = jax.jit(jax.grad(
+        lambda *a: jnp.sum(jnp.sin(render_aux(*a, cam, cfg=off)[0])),
+        argnums=(0, 3),
+    ))(*scene.render_args())
+    for a, b in zip(g_on, g_off):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
