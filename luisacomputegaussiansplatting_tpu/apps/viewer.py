@@ -288,6 +288,10 @@ def main(argv=None):
     p.add_argument("--quality", type=int, default=90, help="jpeg quality")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (e.g. cpu)")
+    p.add_argument("--tile", type=int, default=16, choices=[16, 32])
+    p.add_argument("--pack", choices=["chunk", "none"], default="none",
+                   help="'none' is the fast path (identical up to float "
+                        "reduction order)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -310,7 +314,10 @@ def main(argv=None):
     w, h = (int(x) for x in args.res.split("x"))
     world_up = (0.0, -1.0, -1.0) if args.world == "colmap" else (0.0, 0.0, 1.0)
     server = ViewerServer(
-        scene, w, h, RenderConfig(max_pairs=args.max_pairs), name=name,
+        scene, w, h,
+        RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
+                     pack_mode=args.pack),
+        name=name,
         init_pos=tuple(_parse_vec(args.cam_pos)),
         init_target=tuple(_parse_vec(args.cam_target)),
         world_up=world_up, fov=args.fov, sh_degree=args.sh_degree,
