@@ -155,7 +155,7 @@ class ViewerServer:
 
         from ..config import RenderConfig
         from ..ops.render import render_view
-        from ..utils.camera import CameraView, look_at_camera
+        from ..utils.camera import look_at_camera
 
         self._jnp = jnp
         self.width, self.height = width, height

@@ -20,7 +20,7 @@ import dataclasses
 import json
 import math
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -108,8 +108,6 @@ def synthetic_multiview(
     import jax
 
     from ..config import RenderConfig
-    from ..ops.render import render
-
     from ..ops.render import render_view
 
     cfg = cfg or RenderConfig(max_pairs=1_000_000)

@@ -9,7 +9,6 @@ the jitted step (raw params are the optimised pytree).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax

@@ -23,7 +23,7 @@ from ..utils.camera import Camera, CameraView
 from ..utils.packing import stack_cols, unstack_cols
 from .binning import BinnedGaussians, bin_gaussians, bin_gaussians_nopack
 from .projection import ProjectedGaussians, project_gaussians, tile_grid
-from .rasterize_pallas import FIELDS, PAYLOAD_ROWS, PIX, rasterize_tiles
+from .rasterize_pallas import FIELDS, PAYLOAD_ROWS, rasterize_tiles
 from .rasterize_ref import rasterize_reference
 from .segsum import reduce_fields_by_id
 from .sh_eval import compute_colors

@@ -15,8 +15,6 @@ XLA does poorly (segmented scans, tuple carries).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -17,12 +17,11 @@ layer (SURVEY.md section 2: "Parallelism inventory: NONE in reference").
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import TILE, RenderConfig
 from ..models.gaussians import GaussianParams

@@ -13,7 +13,6 @@ autodiff yields the *complete* backward including direction gradients.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
