@@ -149,3 +149,25 @@ def test_partial_edge_tiles():
     want, _ = oracle_render(scene, cam)
     assert np.asarray(img).shape == (3, 38, 50)
     np.testing.assert_allclose(np.asarray(img), want, atol=5e-4)
+
+
+def test_strict_reference_mode_renders():
+    """Full strict-parity configuration (rect_mode + ewa_mode 'lcgs'):
+    the reference renderer's exact conventions render end to end and
+    match the numpy oracle run in the same modes."""
+    import jax
+
+    cam = look_at_camera((2.5, -2.0, 1.5), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=64, height=48)
+    scene = random_scene(120, seed=23)
+    cfg = RenderConfig(max_pairs=20_000, rect_mode="lcgs")
+    img = jax.jit(
+        lambda *a: render(*a, cam, cfg=cfg, ewa_mode="lcgs")
+    )(*scene.render_args())
+    want, _ = oracle_render(scene, cam, ewa_mode="lcgs", rect_mode="lcgs")
+    np.testing.assert_allclose(np.asarray(img), want, atol=5e-4)
+    # and it differs from the inria default (the last tile row/column
+    # never receives splats in lcgs rect mode)
+    img_inria = jax.jit(lambda *a: render(*a, cam, cfg=RenderConfig(
+        max_pairs=20_000)))(*scene.render_args())
+    assert np.abs(np.asarray(img) - np.asarray(img_inria)).max() > 1e-4
