@@ -188,7 +188,7 @@ def main(argv=None):
             p, o, d, k, data.scene_extent, dcfg
         )
     )
-    reset_fn = jax.jit(lambda p, d: reset_opacity(p, d, dcfg))
+    reset_fn = jax.jit(lambda p, d, o: reset_opacity(p, d, dcfg, opt_state=o))
 
     ckpt = None
     start_iter = 0
@@ -259,9 +259,8 @@ def main(argv=None):
             and (it + 1) % args.opacity_reset_interval == 0
             and it < densify_until
         ):
-            state = TrainState(
-                reset_fn(state.params, dstate), state.opt_state, state.step
-            )
+            new_p, new_o = reset_fn(state.params, dstate, state.opt_state)
+            state = TrainState(new_p, new_o, state.step)
 
         if (it + 1) % args.log_every == 0:
             last_loss = float(loss)

@@ -209,7 +209,9 @@ class ViewerServer:
         bg = self._jnp.asarray(bg, self._jnp.float32)
         with self._lock:  # one TPU program at a time
             img = np.asarray(self._render(*self.scene_args, view, bg))
-        hwc = (np.transpose(img, (1, 2, 0)) * 255.0).astype(np.uint8)
+        # renderer rows are bottom-up: flip to upright for the browser,
+        # matching render_cli's PNG convention (utils/image.py).
+        hwc = (np.transpose(img, (1, 2, 0))[::-1] * 255.0).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(hwc, "RGB").save(buf, "JPEG", quality=self.quality)
         return buf.getvalue()

@@ -173,7 +173,10 @@ def load_nerf_synthetic(
         )
         c2w = np.asarray(frame["transform_matrix"], np.float64)
         cameras.append(_camera_from_c2w(c2w, fov_y, w, h))
-        targets.append(np.transpose(im[..., :3], (2, 0, 1)).astype(np.float32))
+        # PIL rows are top-down; the renderer emits bottom-up rows (render_cli
+        # and the reference app/main.cpp:322-337 both flip at PNG-write).
+        # Flip targets so the training loss compares matching orientations.
+        targets.append(np.transpose(im[::-1, :, :3], (2, 0, 1)).astype(np.float32))
     positions = np.stack([np.asarray(c.position) for c in cameras])
     center = positions.mean(axis=0)
     extent = float(np.linalg.norm(positions - center, axis=1).max()) * 1.1
@@ -261,7 +264,8 @@ def load_colmap_text(
                 height=int(h),
             )
         )
-        targets.append(np.transpose(im, (2, 0, 1)).astype(np.float32))
+        # top-down PIL rows -> bottom-up render rows (see load_nerf_synthetic)
+        targets.append(np.transpose(im[::-1], (2, 0, 1)).astype(np.float32))
         centers.append(pos)
         if max_views and len(cameras) >= max_views:
             break

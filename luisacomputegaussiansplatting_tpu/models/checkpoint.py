@@ -10,6 +10,7 @@ interchange format with other 3DGS tooling.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Optional, Tuple
 
 import jax
@@ -71,6 +72,23 @@ class CheckpointManager:
             )
 
     # -- orbax-independent API ------------------------------------------
+    _CKPT_RE = re.compile(r"ckpt_(\d{8})\.npz")
+
+    def _kept_steps(self):
+        """Complete checkpoint files only (a crash between np.savez and
+        os.replace can leave ckpt_*.npz.tmp.npz behind — never match it)."""
+        steps = []
+        for name in os.listdir(self.directory):
+            m = self._CKPT_RE.fullmatch(name)
+            if m:
+                steps.append(int(m.group(1)))
+            elif name.startswith("ckpt_") and name.endswith(".tmp.npz"):
+                try:  # stale partial write: clean it up
+                    os.remove(os.path.join(self.directory, name))
+                except OSError:
+                    pass
+        return sorted(steps)
+
     def save(self, step: int, tree: Any) -> None:
         if self._mgr is not None:
             import orbax.checkpoint as ocp
@@ -80,21 +98,14 @@ class CheckpointManager:
             return
         path = os.path.join(self.directory, f"ckpt_{step:08d}.npz")
         save_npz(path, tree)
-        kept = sorted(
-            p for p in os.listdir(self.directory) if p.startswith("ckpt_")
-        )
-        for stale in kept[: -self.max_to_keep]:
-            os.remove(os.path.join(self.directory, stale))
+        for stale in self._kept_steps()[: -self.max_to_keep]:
+            os.remove(os.path.join(self.directory, f"ckpt_{stale:08d}.npz"))
 
     def latest_step(self) -> Optional[int]:
         if self._mgr is not None:
             return self._mgr.latest_step()
-        kept = sorted(
-            p for p in os.listdir(self.directory) if p.startswith("ckpt_")
-        )
-        if not kept:
-            return None
-        return int(kept[-1][len("ckpt_") : -len(".npz")])
+        kept = self._kept_steps()
+        return kept[-1] if kept else None
 
     def restore(self, step: int, like: Any) -> Any:
         if self._mgr is not None:

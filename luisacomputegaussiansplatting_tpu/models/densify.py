@@ -221,11 +221,16 @@ def reset_opacity(
     params: GaussianParams,
     state: DensifyState,
     cfg: DensifyConfig = DensifyConfig(),
+    opt_state=None,
 ):
     """Clamp every active opacity to at most ``reset_opacity_to``
     (graphdeco reset_opacity: min(opacity, 0.01) in activation space).
-    Pair with a fresh-moment optimizer reset for the opacity group if
-    matching graphdeco exactly; left to the caller."""
+
+    When ``opt_state`` is given, the opacity-group Adam moments are
+    zeroed as well (graphdeco's replace_tensor_to_optimizer): stale
+    moments from pre-reset gradients would otherwise immediately push
+    opacities back up. Returns (params, opt_state) in that case.
+    """
     target_logit = jnp.log(cfg.reset_opacity_to) - jnp.log1p(
         -cfg.reset_opacity_to
     )
@@ -234,7 +239,40 @@ def reset_opacity(
         jnp.minimum(params.opacity_logits, target_logit),
         params.opacity_logits,
     )
-    return params._replace(opacity_logits=new_logits)
+    new_params = params._replace(opacity_logits=new_logits)
+    if opt_state is None:
+        return new_params
+    return new_params, _zero_adam_moments_field(opt_state, "opacity_logits")
+
+
+def _zero_adam_moments_field(opt_state, field: str):
+    """Zero mu/nu of one GaussianParams field in every ScaleByAdamState.
+
+    multi_transform wraps each group with optax.masked, so each group's
+    mu/nu is a GaussianParams pytree with MaskedNode on the non-selected
+    fields — zeroing `field` wherever it is a real array touches exactly
+    that group's moments."""
+    import optax
+
+    def zero_field(moments):
+        if hasattr(moments, "_fields") and field in moments._fields:
+            val = getattr(moments, field)
+            if hasattr(val, "dtype"):  # real array (MaskedNode has none)
+                return moments._replace(**{field: jnp.zeros_like(val)})
+        return moments
+
+    def rebuild(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(mu=zero_field(s.mu), nu=zero_field(s.nu))
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(rebuild(sub) for sub in s)
+        if hasattr(s, "_fields"):
+            return type(s)(**{f: rebuild(getattr(s, f)) for f in s._fields})
+        if isinstance(s, dict):
+            return {k: rebuild(v) for k, v in s.items()}
+        return s
+
+    return rebuild(opt_state)
 
 
 def _zero_adam_moments_where(opt_state, row_mask):

@@ -109,6 +109,9 @@ def _segsum_kernel(
                 data,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # sel is exact 0/1; without HIGHEST the MXU rounds the f32
+                # gradient operand toward bf16 (~2^-9 relative error).
+                precision=jax.lax.Precision.HIGHEST,
             )  # (STRIP, cols)
             out_ref[pl.ds(base, _STRIP), :] += part
             return 0

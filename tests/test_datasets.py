@@ -124,6 +124,86 @@ def test_synthetic_multiview_targets_consistent():
     assert data.scene_extent > 0
 
 
+def test_loader_rows_match_render_orientation(tmp_path):
+    """Loader-vs-render orientation: the renderer emits bottom-up rows
+    (world-up content lands at HIGH row indices; render_cli and the
+    reference app/main.cpp:322-337 both vflip at PNG-write). Loaded
+    targets must be flipped from PIL's top-down order to match, or the
+    training loss compares vertically mirrored images."""
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.config import RenderConfig
+    from luisacomputegaussiansplatting_tpu.ops.render import render_view
+    from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+    # one bright gaussian ABOVE the look-at target along camera-up (+z)
+    w, h = 48, 48
+    cam = look_at_camera((4.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
+                         fov=60.0, width=w, height=h)
+    means = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    scales = jnp.full((1, 3), 0.2, jnp.float32)
+    quats = jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
+    opac = jnp.ones((1,), jnp.float32)
+    sh = jnp.zeros((1, 16, 3), jnp.float32).at[:, 0, :].set(2.0)
+    img, _ = render_view(
+        means, scales, quats, opac, sh, cam.to_view(), w, h,
+        jnp.zeros((3,)), RenderConfig(max_pairs=10_000), 0,
+    )
+    img = np.asarray(img)
+    rows = img.sum(axis=(0, 2))
+    com = float((rows * np.arange(h)).sum() / max(rows.sum(), 1e-9))
+    assert com > h / 2, "render convention changed: up no longer = high rows"
+
+    # loaders: a PNG whose TOP (PIL row 0) is white must land at HIGH rows
+    c2w = np.eye(4)
+    c2w[2, 3] = 4.0
+    meta = {"camera_angle_x": math.radians(60.0),
+            "frames": [{"file_path": "./train/r_0",
+                        "transform_matrix": c2w.tolist()}]}
+    (tmp_path / "train").mkdir()
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump(meta, f)
+    im = np.zeros((h, w, 3), np.uint8)
+    im[0, :, :] = 255  # top row white
+    _write_png(tmp_path / "train" / "r_0.png", im)
+    data = load_nerf_synthetic(str(tmp_path))
+    t = data.targets[0]
+    assert t[:, h - 1, :].min() > 0.9 and t[:, 0, :].max() < 0.1
+
+    # same for the COLMAP loader
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    with open(sparse / "cameras.txt", "w") as fh:
+        fh.write(f"1 PINHOLE {w} {h} 30.0 30.0 {w/2} {h/2}\n")
+    with open(sparse / "images.txt", "w") as fh:
+        fh.write("1 1 0 0 0 0 0 -5 1 img0.png\n\n")
+    (tmp_path / "images").mkdir()
+    _write_png(tmp_path / "images" / "img0.png", im)
+    t = load_colmap_text(str(tmp_path)).targets[0]
+    assert t[:, h - 1, :].min() > 0.9 and t[:, 0, :].max() < 0.1
+
+
+def test_checkpoint_stale_tmp_files_ignored(tmp_path):
+    """A crash between np.savez and os.replace leaves ckpt_*.tmp.npz;
+    latest_step must skip (and clean) it instead of raising ValueError."""
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.models.checkpoint import (
+        CheckpointManager,
+    )
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2, use_orbax=False)
+    mgr.save(10, {"a": jnp.arange(3.0)})
+    stale = os.path.join(mgr.directory, "ckpt_00000020.npz.tmp.npz")
+    with open(stale, "wb") as f:
+        f.write(b"partial")
+    assert mgr.latest_step() == 10  # not 20, no ValueError
+    step, restored = mgr.restore_latest({"a": jnp.zeros(3)})
+    assert step == 10
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(3.0))
+    assert not os.path.exists(stale)  # cleaned up
+
+
 def test_checkpoint_manager_roundtrip(tmp_path):
     import jax.numpy as jnp
 

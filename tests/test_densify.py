@@ -175,6 +175,50 @@ def test_reset_opacity_clamps_active_only():
     )
 
 
+def test_reset_opacity_zeros_opacity_adam_moments():
+    """With opt_state given, the opacity group's Adam moments reset to
+    zero (graphdeco replace_tensor_to_optimizer) and other groups keep
+    theirs — stale moments would push opacities straight back up."""
+    n, cap = 3, 6
+    params = make_params(n, cap, opacity_logit=3.0)
+    state, opt = init_train_state(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = opt.update(grads, state.opt_state, params)
+    dstate = init_densify_state(n, cap)
+    new_p, new_opt = reset_opacity(
+        params, dstate, DensifyConfig(), opt_state=opt_state
+    )
+    assert float(jax.nn.sigmoid(new_p.opacity_logits[:n]).max()) <= 0.0101
+
+    def moments(s, out):
+        import optax
+
+        if isinstance(s, optax.ScaleByAdamState):
+            out.append(s.mu)
+        elif isinstance(s, tuple) and not hasattr(s, "_fields"):
+            for x in s:
+                moments(x, out)
+        elif hasattr(s, "_fields"):
+            for f in s._fields:
+                moments(getattr(s, f), out)
+        elif isinstance(s, dict):
+            for v in s.values():
+                moments(v, out)
+        return out
+
+    checked_opacity = checked_other = 0
+    for mu in moments(new_opt, []):
+        op = getattr(mu, "opacity_logits", None)
+        if hasattr(op, "dtype"):
+            assert float(jnp.abs(op).max()) == 0.0
+            checked_opacity += 1
+        mn = getattr(mu, "means", None)
+        if hasattr(mn, "dtype"):
+            assert float(jnp.abs(mn).max()) > 0.0
+            checked_other += 1
+    assert checked_opacity >= 1 and checked_other >= 1
+
+
 def test_train_step_with_densify_fits():
     """End-to-end: train vs a 2-gaussian target, densify midway, loss drops."""
     import jax

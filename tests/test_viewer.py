@@ -81,6 +81,38 @@ def test_bg_color_applied(viewer):
     assert img[..., 1].mean() < 30  # no green
 
 
+def test_frame_is_upright():
+    """A gaussian ABOVE the look-at target must appear in the TOP rows of
+    the served JPEG (the renderer emits bottom-up rows; render_jpeg must
+    flip to the upright convention like render_cli's PNGs)."""
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.models.gaussians import (
+        GaussianScene,
+    )
+
+    scene = GaussianScene(
+        means=jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+        scales=jnp.full((1, 3), 0.25, jnp.float32),
+        quats=jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32),
+        opacities=jnp.ones((1,), jnp.float32),
+        sh=jnp.zeros((1, 16, 3), jnp.float32).at[:, 0, :].set(2.0),
+    )
+    srv = ViewerServer(
+        scene, width=64, height=64, cfg=RenderConfig(max_pairs=10_000),
+        name="dot", init_pos=(4.0, 0.0, 0.0), init_target=(0.0, 0.0, 0.0),
+        world_up=(0.0, 0.0, 1.0), fov=60.0,
+    )
+    from PIL import Image
+
+    jpeg = srv.render_jpeg((4.0, 0.0, 0.0), (-1.0, 0.0, 0.0), (0.0, 0.0, 1.0),
+                           60.0, (0.0, 0.0, 0.0))
+    img = np.asarray(Image.open(io.BytesIO(jpeg)), np.float32)
+    rows = img.sum(axis=(1, 2))
+    com = float((rows * np.arange(64)).sum() / max(rows.sum(), 1e-9))
+    assert com < 32, "viewer frame is upside-down"
+
+
 def test_bad_query_is_400_not_crash(viewer):
     import urllib.error
 
