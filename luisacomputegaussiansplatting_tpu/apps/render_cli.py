@@ -58,6 +58,10 @@ def build_parser():
     p.add_argument("--shard", action="store_true",
                    help="shard gaussians+tiles over all devices")
     p.add_argument("--ewa", choices=["inria", "lcgs"], default="inria")
+    p.add_argument("--projection", choices=["focal", "ndc"], default="focal",
+                   help="EWA Jacobian variant: 'focal' (reference default, "
+                        "gs_projector.h:42) or 'ndc' (shad_project_gs, the "
+                        "rescale-later kernel)")
     p.add_argument("--tile", type=int, default=16, choices=[16, 32],
                    help="rasterizer tile edge; 32 is faster for scenes of "
                         "small splats (minor border differences)")
@@ -103,7 +107,8 @@ def main(argv=None):
         args.cam_pos, args.cam_target, world_up, fov=args.fov, width=w, height=h
     )
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
-                       pack_mode=args.pack)
+                       pack_mode=args.pack,
+                       use_focal=args.projection == "focal")
     print(f"num_gaussians: {scene.num_gaussians}")
     print(f"rendering {w}x{h} on {jax.default_backend()} ({len(jax.devices())} device(s))")
 

@@ -59,6 +59,17 @@ class RenderConfig:
     znear: float = 0.1
     zfar: float = 100.0
 
+    #: EWA Jacobian variant. True (reference default, gs_projector.h:42)
+    #: projects the covariance straight to pixel units with focal-scaled
+    #: J (gaussian.hpp:52-70). False reproduces shad_project_gs
+    #: (gs_projector/shader.cpp:18-80): unit-focal J, rescaled to NDC
+    #: units by 1/tanfov^2 in the projector, then to pixel units by
+    #: res^2/4 in allocate_tiles (gs_tile_splatter/shader.cpp:132-138) —
+    #: including the reference's cov.z factor of H*W/4 (not H^2/4), which
+    #: makes the two paths differ by W/H on that term for non-square
+    #: images.
+    use_focal: bool = True
+
     #: rasterizer tile edge in pixels. 16 reproduces the reference's
     #: binning semantics exactly (module.h:17); 32 roughly halves the
     #: binning/sort work for scenes of small splats at slightly more

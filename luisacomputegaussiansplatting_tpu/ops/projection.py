@@ -154,7 +154,23 @@ def project_gaussians(
     tx, ty, tz = clamp_to_frustum_comps(
         px, py, safe_z, tan_fovx, tan_fovy, cfg.frustum_clamp
     )
-    a, b, c = ewa_project_cov_comps(sigma_view, tx, ty, tz, focal_x, focal_y)
+    if cfg.use_focal:
+        a, b, c = ewa_project_cov_comps(
+            sigma_view, tx, ty, tz, focal_x, focal_y
+        )
+    else:
+        # shad_project_gs (gs_projector/shader.cpp:18-80): unit-focal
+        # Jacobian, rescaled to NDC units here, then the "rescale-later"
+        # half from allocate_tiles (gs_tile_splatter/shader.cpp:132-138,
+        # use_focal=false branch) — applied in the reference's two-step
+        # order, including its cov.z res.y*res.x quirk (see config).
+        a, b, c = ewa_project_cov_comps(sigma_view, tx, ty, tz, 1.0, 1.0)
+        a = a * (1.0 / (tan_fovx * tan_fovx))
+        b = b * (1.0 / (tan_fovx * tan_fovy))
+        c = c * (1.0 / (tan_fovy * tan_fovy))
+        a = a * (width * width * 0.25)
+        b = b * (width * height * 0.25)
+        c = c * (height * width * 0.25)
     (ca, cb, cc), radius = conic_and_radius_comps(
         a, b, c, cfg.lowpass, cfg.radius_sigma, cfg.det_eps
     )

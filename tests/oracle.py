@@ -72,11 +72,15 @@ def camera_mats(cam):
 
 
 def project_one(mean, scale, quat_xyzw, view, tanfovx, tanfovy, W, H,
-                ewa_mode="inria", near=0.2, lowpass=0.3):
+                ewa_mode="inria", near=0.2, lowpass=0.3, use_focal=True):
     """Project a single gaussian; returns None if culled.
 
     Follows gs_projector/shader.cpp:82-139 (focal variant) and the
-    conic/radius part of gs_tile_splatter/shader.cpp:102-163.
+    conic/radius part of gs_tile_splatter/shader.cpp:102-163. With
+    use_focal=False it ports shad_project_gs (shader.cpp:18-80): a
+    unit-focal Jacobian rescaled by 1/tanfov^2, then allocate_tiles'
+    res^2/4 rescale (shader.cpp:132-138) — keeping the reference's
+    cov.z factor of H*W/4 rather than H^2/4.
     """
     p_view = view[:3, :3] @ mean + view[:3, 3]
     if p_view[2] < near:
@@ -96,10 +100,11 @@ def project_one(mean, scale, quat_xyzw, view, tanfovx, tanfovy, W, H,
     tx = np.clip(p_view[0] / tz, -limx, limx) * tz
     ty = np.clip(p_view[1] / tz, -limy, limy) * tz
 
+    jx, jy = (fx, fy) if use_focal else (1.0, 1.0)
     J = np.array(
         [
-            [fx / tz, 0, -fx * tx / (tz * tz)],
-            [0, fy / tz, -fy * ty / (tz * tz)],
+            [jx / tz, 0, -jx * tx / (tz * tz)],
+            [0, jy / tz, -jy * ty / (tz * tz)],
             [0, 0, 0],
         ]
     )
@@ -108,7 +113,14 @@ def project_one(mean, scale, quat_xyzw, view, tanfovx, tanfovy, W, H,
         cov = J @ V3 @ cov3d @ V3.T @ J.T
     else:  # "lcgs": reference gaussian.hpp:52-70 after unfolding col-major
         cov = J @ V3.T @ cov3d @ V3 @ J.T
-    a, b, c = cov[0, 0] + lowpass, cov[0, 1], cov[1, 1] + lowpass
+    a, b, c = cov[0, 0], cov[0, 1], cov[1, 1]
+    if not use_focal:
+        # projector rescale to NDC units (shader.cpp:73-76) ...
+        a, b, c = a / (tanfovx * tanfovx), b / (tanfovx * tanfovy), c / (tanfovy * tanfovy)
+        # ... then allocate_tiles' pixel rescale (shader.cpp:132-138);
+        # note c uses res.y*res.x = H*W/4 in the reference.
+        a, b, c = a * W * W * 0.25, b * W * H * 0.25, c * H * W * 0.25
+    a, c = a + lowpass, c + lowpass
     det = a * c - b * b
     conic = np.array([c, -b, a]) / (det + 1e-6)
     mid = 0.5 * (a + c)

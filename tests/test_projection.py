@@ -53,6 +53,47 @@ def test_projection_matches_oracle(cam, ewa_mode):
     assert n_checked > 10  # scene must actually exercise the visible path
 
 
+@pytest.mark.parametrize("ewa_mode", ["inria", "lcgs"])
+def test_projection_nonfocal_matches_oracle(cam, ewa_mode):
+    """use_focal=False: the NDC-unit kernel shad_project_gs
+    (gs_projector/shader.cpp:18-80) + allocate_tiles' rescale-later
+    branch (gs_tile_splatter/shader.cpp:132-138), vs a numpy port."""
+    scene = random_scene(64, seed=3)
+    cfg = RenderConfig(use_focal=False)
+    proj = project_gaussians(
+        scene.means, scene.scales, scene.quats, cam, cfg, ewa_mode=ewa_mode
+    )
+    view, tanfovx, tanfovy = camera_mats(cam)
+    means = np.asarray(scene.means, np.float64)
+    scales = np.asarray(scene.scales, np.float64)
+    quats = np.asarray(scene.quats, np.float64)
+
+    n_checked = n_differs = 0
+    for i in range(means.shape[0]):
+        want = project_one(means[i], scales[i], quats[i], view, tanfovx,
+                           tanfovy, cam.width, cam.height, ewa_mode,
+                           use_focal=False)
+        if want is None:
+            assert int(proj.radius[i]) == 0
+            continue
+        n_checked += 1
+        np.testing.assert_allclose(
+            np.asarray(proj.means2d[i]), want["pix"], rtol=2e-4, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(proj.conic[i]), want["conic"], rtol=3e-3, atol=1e-4
+        )
+        assert abs(int(proj.radius[i]) - want["radius"]) <= 1
+        # the non-square cam (96x64) must exercise the reference's H*W/4
+        # cov.z quirk: the non-focal conic differs from the focal one
+        focal = project_one(means[i], scales[i], quats[i], view, tanfovx,
+                            tanfovy, cam.width, cam.height, ewa_mode)
+        if not np.allclose(want["conic"], focal["conic"], rtol=1e-3):
+            n_differs += 1
+    assert n_checked > 10
+    assert n_differs > 5  # W != H: the two variants genuinely diverge
+
+
 def test_tile_rect_and_counts(cam):
     scene = random_scene(64, seed=5)
     cfg = RenderConfig(rect_mode="inria")
