@@ -37,6 +37,8 @@ def build_parser():
                      help="COLMAP dataset root (sparse/0 + images/)")
     p.add_argument("--init-ply", type=str, default=None,
                    help="initialise from a 3DGS .ply instead of random points")
+    p.add_argument("--downscale", type=int, default=1,
+                   help="integer downscale of COLMAP images")
     p.add_argument("--init-points", type=int, default=2000,
                    help="random init point count (no --init-ply)")
     p.add_argument("--capacity", type=int, default=50_000,
@@ -90,7 +92,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..config import RenderConfig
-    from ..io.dataset import load_colmap_text, load_nerf_synthetic, synthetic_multiview
+    from ..io.dataset import (
+        load_colmap,
+        load_colmap_points3d,
+        load_nerf_synthetic,
+        synthetic_multiview,
+    )
     from ..io.ply import load_ply, save_ply
     from ..io.synthetic import random_scene
     from ..models.checkpoint import CheckpointManager
@@ -130,16 +137,47 @@ def main(argv=None):
         )
         name = os.path.basename(os.path.normpath(args.nerf_synthetic))
     else:
-        data = load_colmap_text(args.colmap)
+        data = load_colmap(args.colmap, downscale=args.downscale)
         name = os.path.basename(os.path.normpath(args.colmap))
     width, height = data.cameras[0].width, data.cameras[0].height
     print(f"dataset: {len(data)} views at {width}x{height}, "
           f"extent {data.scene_extent:.2f}")
 
     # ---- init -----------------------------------------------------------
+    colmap_pts = None
+    if args.colmap and not args.init_ply:
+        try:
+            colmap_pts = load_colmap_points3d(args.colmap)
+        except FileNotFoundError:
+            pass
     if args.init_ply:
         scene0 = load_ply(args.init_ply)
         params = scene0.to_params()
+    elif colmap_pts is not None:
+        # graphdeco init (scene/gaussian_model.create_from_pcd): means at
+        # the COLMAP sparse points, SH DC from point colour, scales =
+        # log(mean 3-NN distance), opacity = inverse_sigmoid(0.1)
+        from scipy.spatial import cKDTree
+
+        from ..utils.sh import sh_from_color
+
+        xyz, rgb = colmap_pts
+        if xyz.shape[0] > args.capacity // 2:
+            sel = rng.choice(xyz.shape[0], args.capacity // 2, replace=False)
+            xyz, rgb = xyz[sel], rgb[sel]
+        d, _ = cKDTree(xyz).query(xyz, k=min(4, xyz.shape[0]))
+        nn = np.sqrt(np.clip((d[:, 1:] ** 2).mean(axis=1), 1e-14, None))
+        n0 = xyz.shape[0]
+        k = (args.sh_degree + 1) ** 2
+        params = GaussianParams(
+            means=jnp.asarray(xyz),
+            log_scales=jnp.asarray(np.log(nn)[:, None].repeat(3, 1), jnp.float32),
+            quats=jnp.zeros((n0, 4), jnp.float32).at[:, 3].set(1.0),
+            opacity_logits=jnp.full((n0,), float(np.log(0.1 / 0.9)), jnp.float32),
+            sh_dc=jnp.asarray(np.asarray(sh_from_color(rgb))[:, None, :], jnp.float32),
+            sh_rest=jnp.zeros((n0, k - 1, 3), jnp.float32),
+        )
+        print(f"init from COLMAP points3D: {n0} points")
     else:
         # random points in the scene volume, dim + semi-transparent
         n0 = args.init_points

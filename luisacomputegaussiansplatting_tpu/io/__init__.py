@@ -2,6 +2,8 @@ from .ply import load_ply, save_ply
 from .synthetic import create_cube_scene, random_scene
 from .dataset import (
     MultiViewDataset,
+    load_colmap,
+    load_colmap_points3d,
     load_colmap_text,
     load_nerf_synthetic,
     sphere_cameras,
@@ -15,6 +17,8 @@ __all__ = [
     "create_cube_scene",
     "random_scene",
     "MultiViewDataset",
+    "load_colmap",
+    "load_colmap_points3d",
     "load_colmap_text",
     "load_nerf_synthetic",
     "sphere_cameras",

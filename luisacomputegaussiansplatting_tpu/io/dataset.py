@@ -195,52 +195,178 @@ def _qvec2rot(q: np.ndarray) -> np.ndarray:
     )
 
 
-def load_colmap_text(
-    root: str,
-    images_dir: str = "images",
-    max_views: Optional[int] = None,
-    downscale: int = 1,
-) -> MultiViewDataset:
-    """COLMAP text model: <root>/sparse/0/{cameras.txt,images.txt}.
+# COLMAP camera-model ids -> (name, param count); colmap's camera_models.h
+_COLMAP_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3),
+    1: ("PINHOLE", 4),
+    2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5),
+    4: ("OPENCV", 8),
+    5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12),
+    7: ("FOV", 5),
+    8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5),
+    10: ("THIN_PRISM_FISHEYE", 12),
+}
 
-    COLMAP convention: world->cam rotation qvec, translation tvec;
-    camera looks along +z, +y down. Converted to our Camera (front/up).
-    """
-    from PIL import Image
 
+def _colmap_focals(model: str, p) -> tuple:
+    if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+                 "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE", "FOV"):
+        return p[0], p[0]
+    if model in ("PINHOLE", "OPENCV", "FULL_OPENCV", "OPENCV_FISHEYE",
+                 "THIN_PRISM_FISHEYE"):
+        return p[0], p[1]
+    raise ValueError(f"unsupported COLMAP camera model {model}")
+
+
+def _colmap_sparse_dir(root: str) -> str:
     sparse = os.path.join(root, "sparse", "0")
-    if not os.path.isdir(sparse):
-        sparse = os.path.join(root, "sparse")
+    return sparse if os.path.isdir(sparse) else os.path.join(root, "sparse")
+
+
+def _read_colmap_cameras_txt(path: str) -> dict:
     cams_meta = {}
-    with open(os.path.join(sparse, "cameras.txt")) as f:
+    with open(path) as f:
         for line in f:
             if line.startswith("#") or not line.strip():
                 continue
             parts = line.split()
             cam_id, model, w, h = int(parts[0]), parts[1], int(parts[2]), int(parts[3])
             p = [float(x) for x in parts[4:]]
-            if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL"):
-                fx = fy = p[0]
-            elif model in ("PINHOLE", "OPENCV", "FULL_OPENCV"):
-                fx, fy = p[0], p[1]
-            else:
-                raise ValueError(f"unsupported COLMAP camera model {model}")
+            fx, fy = _colmap_focals(model, p)
             cams_meta[cam_id] = (w, h, fx, fy)
+    return cams_meta
 
-    cameras, targets, centers = [], [], []
-    with open(os.path.join(sparse, "images.txt")) as f:
-        lines = [
-            ln
-            for ln in f
-            if not ln.startswith("#") and ln.strip()
-        ]
+
+def _read_colmap_images_txt(path: str) -> list:
+    """[(qvec(4,), tvec(3,), cam_id, name)] per registered image."""
+    with open(path) as f:
+        lines = [ln for ln in f if not ln.startswith("#") and ln.strip()]
+    out = []
     # images.txt alternates: meta line, 2D-points line
     for meta_line in lines[0::2]:
         parts = meta_line.split()
-        qvec = np.array([float(x) for x in parts[1:5]])
-        tvec = np.array([float(x) for x in parts[5:8]])
-        cam_id = int(parts[8])
-        name = parts[9]
+        out.append(
+            (
+                np.array([float(x) for x in parts[1:5]]),
+                np.array([float(x) for x in parts[5:8]]),
+                int(parts[8]),
+                parts[9],
+            )
+        )
+    return out
+
+
+def _read_colmap_cameras_bin(path: str) -> dict:
+    """cameras.bin: u64 count, then per camera i32 id, i32 model_id,
+    u64 width, u64 height, f64 params[model]."""
+    import struct
+
+    cams_meta = {}
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+            name, n_params = _COLMAP_MODELS[model_id]
+            p = struct.unpack(f"<{n_params}d", f.read(8 * n_params))
+            fx, fy = _colmap_focals(name, p)
+            cams_meta[cam_id] = (int(w), int(h), fx, fy)
+    return cams_meta
+
+
+def _read_colmap_images_bin(path: str) -> list:
+    """images.bin: u64 count, then per image i32 id, 4xf64 qvec, 3xf64
+    tvec, i32 camera_id, cstring name, u64 npts, npts x (f64 x, f64 y,
+    i64 point3d_id)."""
+    import struct
+
+    out = []
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            _img_id = struct.unpack("<i", f.read(4))[0]
+            qvec = np.array(struct.unpack("<4d", f.read(32)))
+            tvec = np.array(struct.unpack("<3d", f.read(24)))
+            (cam_id,) = struct.unpack("<i", f.read(4))
+            name = b""
+            while True:
+                c = f.read(1)
+                if c in (b"\x00", b""):
+                    break
+                name += c
+            (npts,) = struct.unpack("<Q", f.read(8))
+            f.seek(24 * npts, os.SEEK_CUR)  # skip 2D points
+            out.append((qvec, tvec, cam_id, name.decode()))
+    return out
+
+
+def load_colmap_points3d(root: str):
+    """Sparse points: (xyz (N,3) f32, rgb (N,3) f32 in [0,1]).
+
+    The standard 3DGS initialisation (graphdeco scene/dataset_readers):
+    gaussian means seeded at the COLMAP sparse points with SH DC from
+    the point colour. Reads points3D.bin or points3D.txt.
+    """
+    import struct
+
+    sparse = _colmap_sparse_dir(root)
+    bin_path = os.path.join(sparse, "points3D.bin")
+    txt_path = os.path.join(sparse, "points3D.txt")
+    xyz, rgb = [], []
+    if os.path.exists(bin_path):
+        with open(bin_path, "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            for _ in range(n):
+                # u64 id, 3xf64 xyz, 3xu8 rgb, f64 error, u64 track_len,
+                # track_len x (i32 image_id, i32 point2d_idx)
+                _pid = struct.unpack("<Q", f.read(8))[0]
+                xyz.append(struct.unpack("<3d", f.read(24)))
+                rgb.append(struct.unpack("<3B", f.read(3)))
+                f.read(8)  # error
+                (tlen,) = struct.unpack("<Q", f.read(8))
+                f.seek(8 * tlen, os.SEEK_CUR)
+    elif os.path.exists(txt_path):
+        with open(txt_path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = line.split()
+                xyz.append([float(x) for x in parts[1:4]])
+                rgb.append([float(x) for x in parts[4:7]])
+    else:
+        raise FileNotFoundError(f"no points3D.bin/txt under {sparse}")
+    xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
+    rgb = np.asarray(rgb, np.float32).reshape(-1, 3) / 255.0
+    return xyz, rgb
+
+
+def load_colmap(
+    root: str,
+    images_dir: str = "images",
+    max_views: Optional[int] = None,
+    downscale: int = 1,
+) -> MultiViewDataset:
+    """COLMAP model: <root>/sparse/0/{cameras,images}.{bin,txt}.
+
+    Binary models (what COLMAP and the mip-NeRF-360 release scenes ship,
+    reference README.md:25-29) are preferred; falls back to the text
+    model. COLMAP convention: world->cam rotation qvec, translation
+    tvec; camera looks along +z, +y down. Converted to our Camera.
+    """
+    from PIL import Image
+
+    sparse = _colmap_sparse_dir(root)
+    if os.path.exists(os.path.join(sparse, "cameras.bin")):
+        cams_meta = _read_colmap_cameras_bin(os.path.join(sparse, "cameras.bin"))
+        entries = _read_colmap_images_bin(os.path.join(sparse, "images.bin"))
+    else:
+        cams_meta = _read_colmap_cameras_txt(os.path.join(sparse, "cameras.txt"))
+        entries = _read_colmap_images_txt(os.path.join(sparse, "images.txt"))
+
+    cameras, targets, centers = [], [], []
+    for qvec, tvec, cam_id, name in entries:
         w, h, fx, fy = cams_meta[cam_id]
         r_w2c = _qvec2rot(qvec)
         pos = -r_w2c.T @ tvec
@@ -273,3 +399,7 @@ def load_colmap_text(
     center = positions.mean(axis=0)
     extent = float(np.linalg.norm(positions - center, axis=1).max()) * 1.1
     return MultiViewDataset(cameras, targets, scene_extent=max(extent, 1e-6))
+
+
+#: backward-compatible alias (now auto-detects binary vs text models)
+load_colmap_text = load_colmap

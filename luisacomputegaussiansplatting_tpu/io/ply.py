@@ -162,12 +162,21 @@ def load_ply(
     )
 
 
-def save_ply(scene: GaussianScene, path: str | os.PathLike, invert_activations: bool = True):
-    """Write a GaussianScene as a graphdeco-compatible binary PLY.
+def save_ply(
+    scene: GaussianScene,
+    path: str | os.PathLike,
+    invert_activations: bool = True,
+    fmt: str = "binary",
+):
+    """Write a GaussianScene as a graphdeco-compatible PLY.
 
     With invert_activations=True (default) the stored values are
     pre-activation (log scale, logit opacity, raw quats), so the file
     round-trips through load_ply and is readable by standard 3DGS viewers.
+
+    fmt: "binary" (little-endian, the hot path) or "ascii" — both sides
+    of the vendored happly writer the reference app links
+    (app/happly.h; gaussians.cpp writes no PLY, but happly supports both).
     """
     n = scene.num_gaussians
     means = np.asarray(scene.means, np.float32)
@@ -206,12 +215,22 @@ def save_ply(scene: GaussianScene, path: str | os.PathLike, invert_activations: 
         axis=1,
     ).astype("<f4")
 
+    if fmt not in ("binary", "ascii"):
+        raise ValueError(f"unsupported PLY write format {fmt!r}")
     header = io.BytesIO()
-    header.write(b"ply\nformat binary_little_endian 1.0\n")
+    header.write(b"ply\n")
+    header.write(
+        b"format binary_little_endian 1.0\n"
+        if fmt == "binary"
+        else b"format ascii 1.0\n"
+    )
     header.write(f"element vertex {n}\n".encode())
     for name in names:
         header.write(f"property float {name}\n".encode())
     header.write(b"end_header\n")
     with open(os.fspath(path), "wb") as f:
         f.write(header.getvalue())
-        table.tofile(f)
+        if fmt == "binary":
+            table.tofile(f)
+        else:
+            np.savetxt(f, table, fmt="%.9g")

@@ -124,6 +124,104 @@ def test_synthetic_multiview_targets_consistent():
     assert data.scene_extent > 0
 
 
+def _write_colmap_bin(root, w, h, f, qvec, tvec, img_name, points=None):
+    """Tiny COLMAP binary model (the format the mip360 release scenes
+    ship in sparse/0/*.bin)."""
+    import struct
+
+    sparse = root / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    with open(sparse / "cameras.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", 1))
+        fh.write(struct.pack("<iiQQ", 1, 1, w, h))  # id=1 PINHOLE
+        fh.write(struct.pack("<4d", f, f, w / 2, h / 2))
+    with open(sparse / "images.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", 1))
+        fh.write(struct.pack("<i", 1))
+        fh.write(struct.pack("<4d", *qvec))
+        fh.write(struct.pack("<3d", *tvec))
+        fh.write(struct.pack("<i", 1))
+        fh.write(img_name.encode() + b"\x00")
+        fh.write(struct.pack("<Q", 2))  # two 2D points (skipped by loader)
+        fh.write(struct.pack("<ddq", 1.0, 2.0, -1) * 2)
+    if points is not None:
+        with open(sparse / "points3D.bin", "wb") as fh:
+            fh.write(struct.pack("<Q", len(points)))
+            for pid, (xyz, rgb) in enumerate(points):
+                fh.write(struct.pack("<Q", pid))
+                fh.write(struct.pack("<3d", *xyz))
+                fh.write(struct.pack("<3B", *rgb))
+                fh.write(struct.pack("<d", 0.5))
+                fh.write(struct.pack("<Q", 1))  # track of length 1
+                fh.write(struct.pack("<ii", 1, 0))
+
+
+def test_colmap_binary_loader(tmp_path):
+    from luisacomputegaussiansplatting_tpu.io.dataset import (
+        load_colmap,
+        load_colmap_points3d,
+    )
+
+    w, h, f = 32, 24, 30.0
+    pts = [((1.0, 2.0, 3.0), (255, 0, 0)), ((-1.0, 0.5, 2.0), (0, 128, 255))]
+    _write_colmap_bin(tmp_path, w, h, f, (1, 0, 0, 0), (0, 0, -5), "img0.png",
+                      points=pts)
+    (tmp_path / "images").mkdir()
+    _write_png(tmp_path / "images" / "img0.png",
+               np.full((h, w, 3), 80, np.uint8))
+
+    data = load_colmap(str(tmp_path))
+    assert len(data) == 1
+    cam = data.cameras[0]
+    np.testing.assert_allclose(cam.position, (0, 0, 5), atol=1e-9)
+    np.testing.assert_allclose(cam.front, (0, 0, 1), atol=1e-9)
+    np.testing.assert_allclose(cam.up, (0, -1, 0), atol=1e-9)
+    expect_fovy = math.degrees(2 * math.atan(0.5 * h / f))
+    assert abs(cam.fov - expect_fovy) < 1e-6
+    assert data.targets[0].shape == (3, h, w)
+    np.testing.assert_allclose(data.targets[0], 80 / 255.0, atol=1e-3)
+
+    xyz, rgb = load_colmap_points3d(str(tmp_path))
+    np.testing.assert_allclose(xyz, [[1, 2, 3], [-1, 0.5, 2]], atol=1e-7)
+    np.testing.assert_allclose(rgb[0], [1.0, 0.0, 0.0], atol=1e-7)
+    np.testing.assert_allclose(rgb[1], [0, 128 / 255, 1.0], atol=1e-7)
+
+
+def test_colmap_bin_and_text_models_agree(tmp_path):
+    """The same model written as .bin and .txt loads identically."""
+    from luisacomputegaussiansplatting_tpu.io.dataset import load_colmap
+
+    w, h, f = 16, 16, 20.0
+    # a non-trivial pose: 90 deg about z plus offset
+    qvec = (math.sqrt(0.5), 0.0, 0.0, math.sqrt(0.5))
+    tvec = (0.3, -1.2, 4.0)
+    img = (np.random.default_rng(0).uniform(0, 255, (h, w, 3))).astype(np.uint8)
+
+    root_b = tmp_path / "b"
+    root_b.mkdir()
+    _write_colmap_bin(root_b, w, h, f, qvec, tvec, "i.png")
+    (root_b / "images").mkdir()
+    _write_png(root_b / "images" / "i.png", img)
+
+    root_t = tmp_path / "t"
+    sparse = root_t / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    with open(sparse / "cameras.txt", "w") as fh:
+        fh.write(f"1 PINHOLE {w} {h} {f} {f} {w/2} {h/2}\n")
+    with open(sparse / "images.txt", "w") as fh:
+        fh.write("1 " + " ".join(map(str, qvec)) + " "
+                 + " ".join(map(str, tvec)) + " 1 i.png\n\n")
+    (root_t / "images").mkdir()
+    _write_png(root_t / "images" / "i.png", img)
+
+    db, dt = load_colmap(str(root_b)), load_colmap(str(root_t))
+    for fld in ("position", "front", "up", "right", "fov"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(db.cameras[0], fld)),
+            np.asarray(getattr(dt.cameras[0], fld)), atol=1e-12)
+    np.testing.assert_allclose(db.targets[0], dt.targets[0])
+
+
 def test_loader_rows_match_render_orientation(tmp_path):
     """Loader-vs-render orientation: the renderer emits bottom-up rows
     (world-up content lands at HIGH row indices; render_cli and the

@@ -69,6 +69,24 @@ def test_sh_rest_channel_major_layout(tmp_path):
     np.testing.assert_allclose(np.asarray(back.sh), sh, atol=1e-6)
 
 
+def test_ascii_write_roundtrip(tmp_path):
+    """save_ply(fmt='ascii') round-trips through load_ply (happly writes
+    both ascii and binary; so do we)."""
+    scene = random_scene(23, seed=7)
+    path = tmp_path / "scene_ascii.ply"
+    save_ply(scene, path, fmt="ascii")
+    with open(path, "rb") as f:
+        assert b"format ascii 1.0" in f.readline() + f.readline()
+    back = load_ply(path)
+    np.testing.assert_allclose(np.asarray(back.means), np.asarray(scene.means), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.scales), np.asarray(scene.scales), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(back.opacities), np.asarray(scene.opacities), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(back.sh), np.asarray(scene.sh), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.quats), np.asarray(scene.quats), atol=1e-6)
+
+
 def test_ascii_ply(tmp_path):
     """ASCII PLY variant parses identically (happly supports both)."""
     scene = random_scene(4, seed=2, sh_degree=0)
