@@ -58,6 +58,9 @@ def build_parser():
     p.add_argument("--shard", action="store_true",
                    help="shard gaussians+tiles over all devices")
     p.add_argument("--ewa", choices=["inria", "lcgs"], default="inria")
+    p.add_argument("--rect", choices=["inria", "lcgs"], default="inria",
+                   help="tile-rect clamp convention; 'lcgs' reproduces the "
+                        "reference's module.cpp:29-35 binning exactly")
     p.add_argument("--projection", choices=["focal", "ndc"], default="focal",
                    help="EWA Jacobian variant: 'focal' (reference default, "
                         "gs_projector.h:42) or 'ndc' (shad_project_gs, the "
@@ -107,7 +110,7 @@ def main(argv=None):
         args.cam_pos, args.cam_target, world_up, fov=args.fov, width=w, height=h
     )
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
-                       pack_mode=args.pack,
+                       pack_mode=args.pack, rect_mode=args.rect,
                        use_focal=args.projection == "focal")
     print(f"num_gaussians: {scene.num_gaussians}")
     print(f"rendering {w}x{h} on {jax.default_backend()} ({len(jax.devices())} device(s))")
