@@ -14,11 +14,15 @@ final graphdeco-compatible PLY export.
     # NeRF-synthetic (lego/chair) or COLMAP (bicycle/garden):
     python -m ... --nerf-synthetic /data/lego --iters 30000 ...
     python -m ... --colmap /data/bicycle --downscale 4 ...
+
+    # multi-chip: views data-parallel x gaussian/tile sharding:
+    python -m ... --colmap /data/bicycle --shard --mesh 2x4 ...
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -66,6 +70,17 @@ def build_parser():
                    help="0 disables (graphdeco: 3000)")
     p.add_argument("--grad-threshold", type=float, default=5e-5,
                    help="screen-space grad threshold in *pixel* units (typical 1e-5..1e-4)")
+    p.add_argument("--shard", action="store_true",
+                   help="multi-chip training: views data-parallel x "
+                        "gaussian/tile sharding on a 2D device mesh")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="DATAxGS device mesh shape (default: auto)")
+    p.add_argument("--max-pairs-local", type=int, default=None,
+                   help="per-device expansion capacity (sharded; default "
+                        "max-pairs / n_gs, CHUNK-rounded)")
+    p.add_argument("--exchange-capacity", type=int, default=None,
+                   help="per (src,dst)-device bucket capacity (sharded; "
+                        "default = max-pairs-local)")
     p.add_argument("--ckpt-every", type=int, default=0, help="0 disables")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--out", type=str, default="out_train")
@@ -143,6 +158,27 @@ def main(argv=None):
     print(f"dataset: {len(data)} views at {width}x{height}, "
           f"extent {data.scene_extent:.2f}")
 
+    # ---- device mesh (multi-chip training) -------------------------------
+    mesh = None
+    if args.shard and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        ndev = len(jax.devices())
+        if args.mesh:
+            n_data, n_gs = (int(x) for x in args.mesh.split("x"))
+            if n_data * n_gs != ndev:
+                print(f"error: mesh {args.mesh} != {ndev} devices",
+                      file=sys.stderr)
+                return 2
+        else:
+            n_data = 2 if ndev % 2 == 0 and ndev > 1 else 1
+            n_gs = ndev // n_data
+        mesh = make_mesh((n_data, n_gs), ("data", "gs"))
+        args.capacity = -(-args.capacity // n_gs) * n_gs  # shardable
+        print(f"mesh: {n_data} data x {n_gs} gs devices")
+    elif args.shard:
+        print("--shard requested but only one device; running single-chip")
+
     # ---- init -----------------------------------------------------------
     colmap_pts = None
     if args.colmap and not args.init_ply:
@@ -199,6 +235,17 @@ def main(argv=None):
 
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
                        pack_mode=args.pack)
+    scfg = None
+    pad_targets_fn = None
+    if mesh is not None:
+        from ..config import CHUNK
+        from ..parallel.render_sharded import ShardedRenderConfig
+
+        mpl = args.max_pairs_local or max(args.max_pairs // n_gs, CHUNK)
+        mpl = -(-mpl // CHUNK) * CHUNK
+        bcap = args.exchange_capacity or mpl
+        bcap = -(-bcap // CHUNK) * CHUNK
+        scfg = ShardedRenderConfig(max_pairs_local=mpl, exchange_capacity=bcap)
     bg = (1.0, 1.0, 1.0) if args.bg == "white" else (0.0, 0.0, 0.0)
     tc = TrainConfig()
     dcfg = DensifyConfig(grad_threshold=args.grad_threshold)
@@ -210,7 +257,15 @@ def main(argv=None):
 
     def step_for_degree(deg: int):
         if deg not in _step_cache:
-            if args.views_per_step > 1:
+            if mesh is not None:
+                from ..parallel.train_sharded import make_sharded_train_step
+
+                step, _o, pad_t = make_sharded_train_step(
+                    mesh, width, height, cfg=cfg, scfg=scfg, sh_degree=deg,
+                    tc=tc, bg_color=bg, densify=True,
+                )
+                _step_cache[deg] = (step, pad_t)
+            elif args.views_per_step > 1:
                 _step_cache[deg] = make_batched_train_step(
                     opt, width, height, cfg=cfg, sh_degree=deg, tc=tc,
                     bg_color=bg,
@@ -227,6 +282,24 @@ def main(argv=None):
         )
     )
     reset_fn = jax.jit(lambda p, d, o: reset_opacity(p, d, dcfg, opt_state=o))
+
+    def grow_capacity():
+        """Render-pair overflow: double the static capacities and rebuild
+        the compiled steps (the TPU-safe analog of the reference's temp
+        buffer x2 growth, gs_tile_splatter/impl.cpp:31-61 — but triggered
+        by a *detected* overflow instead of silently corrupting past L,
+        app/main.cpp:245)."""
+        nonlocal cfg, scfg
+        cfg = dataclasses.replace(cfg, max_pairs=cfg.max_pairs * 2)
+        if scfg is not None:
+            scfg = ShardedRenderConfig(
+                max_pairs_local=scfg.max_pairs_local * 2,
+                exchange_capacity=scfg.exchange_capacity * 2,
+            )
+        _step_cache.clear()
+        print(f"[overflow] raising max_pairs to {cfg.max_pairs} and "
+              "recompiling (entries were dropped this interval)",
+              file=sys.stderr)
 
     ckpt = None
     start_iter = 0
@@ -256,13 +329,26 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     last_loss = float("nan")
+    ov_acc = jnp.asarray(False)  # sticky device-side overflow flag
     for it in range(start_iter, args.iters):
         if args.sh_upgrade_every > 0:
             deg = min(args.sh_degree, it // args.sh_upgrade_every)
         else:
             deg = args.sh_degree
         step_fn = step_for_degree(deg)
-        if args.views_per_step > 1:
+        if mesh is not None:
+            step_s, pad_t = step_fn
+            nv = n_data * args.views_per_step
+            vis = rng.choice(len(data), size=nv, replace=nv > len(data))
+            v_batch = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[views[v] for v in vis]
+            )
+            t_batch = pad_t(jnp.stack([targets[v] for v in vis]))
+            state, dstate, loss, overflow = step_s(
+                state, dstate, v_batch, t_batch
+            )
+            ov_acc = ov_acc | overflow
+        elif args.views_per_step > 1:
             vis = rng.choice(
                 len(data),
                 size=args.views_per_step,
@@ -272,12 +358,16 @@ def main(argv=None):
                 lambda *xs: jnp.stack(xs), *[views[v] for v in vis]
             )
             t_batch = jnp.stack([targets[v] for v in vis])
-            state, dstate, loss = step_fn(state, dstate, v_batch, t_batch)
+            state, dstate, loss, overflow = step_fn(
+                state, dstate, v_batch, t_batch
+            )
+            ov_acc = ov_acc | overflow
         else:
             vi = int(rng.integers(0, len(data)))
             state, dstate, loss, aux = step_fn(
                 state, dstate, views[vi], targets[vi]
             )
+            ov_acc = ov_acc | aux.overflow
 
         do_densify = (
             args.densify_from <= it < densify_until
@@ -309,6 +399,9 @@ def main(argv=None):
                 f"active {n_act}  {(it + 1 - start_iter) / dt:.1f} it/s",
                 flush=True,
             )
+            if bool(ov_acc):  # render-pair overflow: entries were dropped
+                grow_capacity()
+                ov_acc = jnp.asarray(False)
         if args.eval_every and (it + 1) % args.eval_every == 0:
             from ..models.losses import ssim
 
@@ -320,6 +413,9 @@ def main(argv=None):
             )
         if ckpt and args.ckpt_every and (it + 1) % args.ckpt_every == 0:
             ckpt.save(it + 1, (state, dstate))
+
+    if bool(ov_acc):
+        grow_capacity()  # report the tail-interval overflow loudly
 
     # ---- export ---------------------------------------------------------
     scene = jax.jit(lambda p: p.activate())(state.params)

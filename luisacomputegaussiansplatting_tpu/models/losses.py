@@ -48,8 +48,13 @@ def _blur(img, window):
     return x[0]
 
 
-def ssim(img0, img1, c1: float = 0.01**2, c2: float = 0.03**2):
-    """Mean SSIM over a (C, H, W) image pair in [0, 1]."""
+def ssim_map(img0, img1, c1: float = 0.01**2, c2: float = 0.03**2):
+    """Per-pixel SSIM map of a (C, H, W) image pair in [0, 1].
+
+    Exposed separately so the sharded loss (parallel/train_sharded.py)
+    can compute the map on a halo-extended band and crop it, which
+    matches the single-chip map exactly.
+    """
     window = _ssim_window()
     mu0 = _blur(img0, window)
     mu1 = _blur(img1, window)
@@ -61,7 +66,12 @@ def ssim(img0, img1, c1: float = 0.01**2, c2: float = 0.03**2):
     s01 = _blur(img0 * img1, window) - mu01
     num = (2 * mu01 + c1) * (2 * s01 + c2)
     den = (mu00 + mu11 + c1) * (s00 + s11 + c2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def ssim(img0, img1, c1: float = 0.01**2, c2: float = 0.03**2):
+    """Mean SSIM over a (C, H, W) image pair in [0, 1]."""
+    return jnp.mean(ssim_map(img0, img1, c1, c2))
 
 
 def d_ssim_l1_loss(pred, target, ssim_weight: float = 0.2):

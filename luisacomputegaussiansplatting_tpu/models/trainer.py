@@ -265,12 +265,15 @@ def make_batched_train_step(
                     active_mask=dstate.active,
                     means2d_probe=probe,
                 )
-                return d_ssim_l1_loss(img, target, tc.ssim_weight), aux.radii
+                return (
+                    d_ssim_l1_loss(img, target, tc.ssim_weight),
+                    (aux.radii, aux.overflow),
+                )
 
-            losses, radii = jax.vmap(one)(views, targets)
-            return jnp.mean(losses), radii
+            losses, (radii, overflow) = jax.vmap(one)(views, targets)
+            return jnp.mean(losses), (radii, jnp.any(overflow))
 
-        (loss, radii), (grads, probe_grad) = jax.value_and_grad(
+        (loss, (radii, overflow)), (grads, probe_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params, probe)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
@@ -290,6 +293,7 @@ def make_batched_train_step(
             TrainState(new_params, new_opt, state.step + 1),
             new_dstate,
             loss,
+            overflow,
         )
 
     return step

@@ -38,7 +38,7 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..config import CHUNK, TILE, RenderConfig
+from ..config import CHUNK, RenderConfig
 from ..utils.camera import Camera, CameraView
 from ..ops.binning import expand_entries, pack_ranges
 from ..ops.projection import project_gaussians, tile_grid
@@ -80,11 +80,15 @@ def render_sharded(
     cfg: RenderConfig = RenderConfig(),
     scfg: ShardedRenderConfig = ShardedRenderConfig(),
     sh_degree: int = 3,
+    ewa_mode: str = "inria",
 ):
     """Render one view with gaussians and tiles sharded over ``axis``.
 
     The gaussian arrays must be sharded (or shardable) along their leading
     axis over ``axis``; P must divide evenly (pad with GaussianScene.pad_to).
+
+    Supports every RenderConfig the single-chip path does (tile 16/32,
+    pack_mode chunk/none, tile_cull, use_focal, rect_mode).
 
     Returns (image (3, H, W) sharded by rows over ``axis``, _ShardAux).
     """
@@ -92,10 +96,10 @@ def render_sharded(
         width, height = camera.width, camera.height
         camera = camera.to_view()
     ndev = mesh.shape[axis]
-    grid_x, grid_y = tile_grid(width, height)
+    _validate_sharded_cfg(cfg, scfg)
+    grid_x, grid_y = tile_grid(width, height, cfg.tile)
     rows_per_dev = -(-grid_y // ndev)
     tiles_per_dev = rows_per_dev * grid_x
-    num_tiles_padded = tiles_per_dev * ndev
 
     p_total = means3d.shape[0]
     if p_total % ndev:
@@ -114,16 +118,17 @@ def render_sharded(
         cfg=cfg,
         scfg=scfg,
         axis=axis,
+        ewa_mode=ewa_mode,
     )
     spec_g = P(axis)
     fn = shard_map(
         fn,
         mesh=mesh,
         in_specs=(spec_g, spec_g, spec_g, spec_g, spec_g, P(), P()),
-        out_specs=(P(None, axis, None), P()),
+        out_specs=(P(None, axis, None), P(), P(axis)),
         check_vma=False,
     )
-    band, aux = fn(
+    band, aux, _radii = fn(
         means3d,
         scales,
         quats_xyzw,
@@ -136,6 +141,19 @@ def render_sharded(
     return image, _ShardAux(
         overflow=aux.overflow.reshape(()), num_rendered=aux.num_rendered.reshape(())
     )
+
+
+def _validate_sharded_cfg(cfg: RenderConfig, scfg: ShardedRenderConfig):
+    """Reject configurations that would mis-render instead of failing."""
+    if cfg.pack_mode not in ("chunk", "none"):
+        raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")
+    if scfg.exchange_capacity % CHUNK:
+        raise ValueError(
+            f"exchange_capacity {scfg.exchange_capacity} must be a multiple "
+            f"of CHUNK={CHUNK} (the rasterizer reads CHUNK-aligned slices)"
+        )
+    if cfg.rasterizer != "pallas":
+        raise ValueError("the sharded path supports rasterizer='pallas' only")
 
 
 def _render_shard(
@@ -157,20 +175,31 @@ def _render_shard(
     cfg: RenderConfig,
     scfg: ShardedRenderConfig,
     axis: str,
+    ewa_mode: str = "inria",
+    active_mask=None,
+    means2d_probe=None,
 ):
-    """Per-device body (runs under shard_map)."""
+    """Per-device body (runs under shard_map).
+
+    Returns (band (3, band_h, W_pad), _ShardAux, radii (p_shard,)).
+    active_mask / means2d_probe are the per-shard training hooks (see
+    ops.projection.project_gaussians)."""
     dev = jax.lax.axis_index(axis)
     num_tiles_padded = tiles_per_dev * ndev
+    tile = cfg.tile
 
     # ---- local compute on this chip's gaussian shard -------------------
     colors = compute_colors(means3d, sh_coeffs, cam_view.position, sh_degree)
     proj = project_gaussians(
-        means3d, scales, quats, cam_view, cfg, width=width, height=height
+        means3d, scales, quats, cam_view, cfg, ewa_mode=ewa_mode,
+        width=width, height=height, active_mask=active_mask,
+        means2d_probe=means2d_probe,
     )
 
     l_loc = scfg.max_pairs_local
+    cull_op = opacities if cfg.tile_cull else None
     tile_id, depth, gid, total = expand_entries(
-        proj, grid_x, num_tiles_padded, l_loc
+        proj, grid_x, num_tiles_padded, l_loc, cull_op, tile, cfg.alpha_min
     )
     overflow = total > l_loc
 
@@ -241,15 +270,24 @@ def _render_shard(
     )
     s_pf = jnp.take(recv_pf, perm, axis=0)
 
-    cap_loc = _round_up(ndev * bcap + tiles_per_dev * CHUNK, CHUNK)
-    src, in_range, _slot_tile, starts, counts = pack_ranges(
-        s_ltile, tiles_per_dev, cap_loc
-    )
-    packed = jnp.where(
-        in_range[:, None], jnp.take(s_pf, src, axis=0), 0.0
-    )  # (cap_loc, FIELDS)
-    pad = jnp.zeros((PAYLOAD_ROWS - FIELDS, cap_loc), jnp.float32)
-    payload = jnp.concatenate([packed.T, pad], axis=0)
+    if cfg.pack_mode == "chunk":
+        cap_loc = _round_up(ndev * bcap + tiles_per_dev * CHUNK, CHUNK)
+        src, in_range, _slot_tile, starts, counts = pack_ranges(
+            s_ltile, tiles_per_dev, cap_loc
+        )
+        cols = jnp.where(
+            in_range[:, None], jnp.take(s_pf, src, axis=0), 0.0
+        )  # (cap_loc, FIELDS)
+    else:  # "none": raw sorted ranges + CHUNK tail pad for aligned over-reads
+        tids = jnp.arange(tiles_per_dev, dtype=jnp.int32)
+        starts = jnp.searchsorted(s_ltile, tids, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(s_ltile, tids, side="right").astype(jnp.int32)
+        counts = ends - starts
+        cols = jnp.concatenate(
+            [s_pf, jnp.zeros((CHUNK, FIELDS), jnp.float32)], axis=0
+        )
+    pad = jnp.zeros((PAYLOAD_ROWS - FIELDS, cols.shape[0]), jnp.float32)
+    payload = jnp.concatenate([cols.T, pad], axis=0)
 
     # ---- rasterize this chip's band -------------------------------------
     color, trans = rasterize_tiles(
@@ -262,15 +300,16 @@ def _render_shard(
         cfg,
         tile_offset=(dev * tiles_per_dev).reshape(1),
     )
-    band_h = tiles_per_dev // grid_x * TILE
-    c = color.reshape(tiles_per_dev // grid_x, grid_x, TILE, TILE, 3)
-    c = c.transpose(4, 0, 2, 1, 3).reshape(3, band_h, grid_x * TILE)
-    t = trans.reshape(tiles_per_dev // grid_x, grid_x, TILE, TILE)
-    t = t.transpose(0, 2, 1, 3).reshape(band_h, grid_x * TILE)
+    band_h = tiles_per_dev // grid_x * tile
+    c = color.reshape(tiles_per_dev // grid_x, grid_x, tile, tile, 3)
+    c = c.transpose(4, 0, 2, 1, 3).reshape(3, band_h, grid_x * tile)
+    t = trans.reshape(tiles_per_dev // grid_x, grid_x, tile, tile)
+    t = t.transpose(0, 2, 1, 3).reshape(band_h, grid_x * tile)
     band = c + bg[:, None, None] * t[None]
 
     total_all = jax.lax.psum(jnp.minimum(total, l_loc), axis)
     overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
-    return band, _ShardAux(
+    aux = _ShardAux(
         overflow=overflow.reshape(1), num_rendered=total_all.reshape(1)
     )
+    return band, aux, proj.radius

@@ -39,16 +39,22 @@ def test_devices():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
 
 
-def test_sharded_render_matches_single(scene):
+@pytest.mark.parametrize("tile", [16, 32])
+@pytest.mark.parametrize("pack", ["chunk", "none"])
+def test_sharded_render_matches_single(scene, tile, pack):
+    """Every (tile, pack_mode) config the single-chip path supports must
+    render identically sharded — including the fast tile=32 + no-pack
+    production config."""
+    cfg = RenderConfig(max_pairs=20_000, tile=tile, pack_mode=pack)
     mesh = make_mesh((8,), ("gs",))
     # bg is a traced argument: one compile covers both colour cases
     f_s = jax.jit(
         lambda bg, *a: render_sharded(
-            *a, CAM, mesh, cfg=CFG, scfg=SCFG, bg_color=bg
+            *a, CAM, mesh, cfg=cfg, scfg=SCFG, bg_color=bg
         )
     )
     f_1 = jax.jit(
-        lambda bg, *a: render(*a, CAM, bg_color=bg, cfg=CFG)
+        lambda bg, *a: render(*a, CAM, bg_color=bg, cfg=cfg)
     )
     for bg in ((0.0, 0.0, 0.0), (0.2, 0.4, 0.6)):
         bg = jnp.asarray(bg, jnp.float32)
@@ -58,6 +64,38 @@ def test_sharded_render_matches_single(scene):
         np.testing.assert_allclose(
             np.asarray(img_s), np.asarray(img_1), atol=2e-5
         )
+
+
+def test_sharded_rejects_bad_exchange_capacity(scene):
+    mesh = make_mesh((8,), ("gs",))
+    bad = ShardedRenderConfig(max_pairs_local=8192, exchange_capacity=1000)
+    with pytest.raises(ValueError, match="exchange_capacity"):
+        render_sharded(*scene.render_args(), CAM, mesh, cfg=CFG, scfg=bad)
+
+
+def test_sharded_nopack_grads_match_single(scene):
+    """Gradients through the no-pack sharded rasterizer (boundary-chunk
+    RMW path) match the single-chip no-pack gradients."""
+    cfg = RenderConfig(max_pairs=20_000, tile=32, pack_mode="none")
+    mesh = make_mesh((8,), ("gs",))
+    rng = np.random.default_rng(1)
+    wimg = jnp.asarray(
+        rng.normal(size=(3, CAM.height, CAM.width)), jnp.float32
+    )
+
+    def loss_sharded(*args):
+        img, _ = render_sharded(*args, CAM, mesh, cfg=cfg, scfg=SCFG)
+        return jnp.sum(img * wimg)
+
+    def loss_single(*args):
+        return jnp.sum(render(*args, CAM, cfg=cfg) * wimg)
+
+    g_s = jax.jit(jax.grad(loss_sharded, argnums=(0, 3)))(*scene.render_args())
+    g_1 = jax.jit(jax.grad(loss_single, argnums=(0, 3)))(*scene.render_args())
+    for name, a, b in zip("mo", g_s, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-4, err_msg=name)
 
 
 def test_sharded_grads_match_single(scene):
@@ -129,8 +167,9 @@ def test_sharded_train_step_runs(scene):
     )
     targets = pad_targets(targets)
 
-    state2, loss = step_fn(state, views, targets)
+    state2, loss, overflow = step_fn(state, views, targets)
     assert np.isfinite(float(loss))
+    assert not bool(overflow)
     # params actually moved
     delta = np.abs(
         np.asarray(state2.params.means) - np.asarray(state.params.means)
@@ -140,6 +179,129 @@ def test_sharded_train_step_runs(scene):
     # loss decreases over a few steps on a fixed target
     losses = [float(loss)]
     for _ in range(6):
-        state2, loss = step_fn(state2, views, targets)
+        state2, loss, _ov = step_fn(state2, views, targets)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_sharded_loss_equals_single_chip_dssim(scene):
+    """The sharded loss is the full (1-w)L1 + w D-SSIM with exact 11x11
+    windows across band seams (5-row ppermute halos) — it must equal the
+    single-chip d_ssim_l1_loss to float precision."""
+    from luisacomputegaussiansplatting_tpu.models.losses import (
+        d_ssim_l1_loss,
+    )
+    from luisacomputegaussiansplatting_tpu.models.trainer import TrainConfig
+
+    mesh = make_mesh((2, 4), ("data", "gs"))
+    step_fn, opt, pad_targets = make_sharded_train_step(
+        mesh, CAM.width, CAM.height, cfg=CFG, scfg=SCFG
+    )
+    params = scene.to_params()
+    params = params._replace(opacity_logits=params.opacity_logits - 0.7)
+    state, _ = init_train_state(params)
+
+    cams = [
+        look_at_camera((3.0, -2.5, 2.0), (0, 0, 0), (0, 0, 1),
+                       fov=70.0, width=64, height=64),
+        look_at_camera((-2.5, 3.0, 1.5), (0, 0, 0), (0, 0, 1),
+                       fov=70.0, width=64, height=64),
+    ]
+    views = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[c.to_view() for c in cams]
+    )
+    targets_raw = jnp.stack(
+        [render(*scene.render_args(), c, cfg=CFG) for c in cams]
+    )
+    _, loss, _ov = step_fn(state, views, pad_targets(targets_raw))
+
+    # single-chip reference loss: mean over the two views
+    act = jax.jit(lambda p: p.activate())(state.params)
+    w = TrainConfig().ssim_weight
+    ref = np.mean([
+        float(d_ssim_l1_loss(
+            render(*act, c, cfg=CFG), targets_raw[i], w,
+        ))
+        for i, c in enumerate(cams)
+    ])
+    np.testing.assert_allclose(float(loss), ref, rtol=2e-5)
+
+
+def test_sharded_loss_halo_exactness_uneven_band(scene):
+    """Height where the last band is partially outside the image: the
+    SSIM halo/masking must still reproduce the single-chip loss."""
+    from luisacomputegaussiansplatting_tpu.models.losses import (
+        d_ssim_l1_loss,
+    )
+    from luisacomputegaussiansplatting_tpu.models.trainer import TrainConfig
+
+    cam = CAM.resized(64, 48)  # 3 tile rows over 4 gs devices
+    mesh = make_mesh((2, 4), ("data", "gs"))
+    step_fn, opt, pad_targets = make_sharded_train_step(
+        mesh, cam.width, cam.height, cfg=CFG, scfg=SCFG
+    )
+    state, _ = init_train_state(scene.to_params())
+    cams = [cam, cam.resized(64, 48)]
+    views = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[c.to_view() for c in cams]
+    )
+    rng = np.random.default_rng(5)
+    targets_raw = jnp.asarray(
+        rng.uniform(0, 1, (2, 3, 48, 64)), jnp.float32
+    )
+    _, loss, _ov = step_fn(state, views, pad_targets(targets_raw))
+
+    act = jax.jit(lambda p: p.activate())(state.params)
+    w = TrainConfig().ssim_weight
+    ref = np.mean([
+        float(d_ssim_l1_loss(render(*act, c, cfg=CFG), targets_raw[i], w))
+        for i, c in enumerate(cams)
+    ])
+    np.testing.assert_allclose(float(loss), ref, rtol=2e-5)
+
+
+def test_sharded_densify_step_accumulates_stats(scene):
+    """densify=True: probe gradients / visibility / radii accumulate like
+    the single-chip batched step, and the active mask culls."""
+    from luisacomputegaussiansplatting_tpu.models.densify import (
+        init_densify_state,
+    )
+
+    mesh = make_mesh((2, 4), ("data", "gs"))
+    step_fn, opt, pad_targets = make_sharded_train_step(
+        mesh, CAM.width, CAM.height, cfg=CFG, scfg=SCFG, densify=True
+    )
+    params = scene.to_params()
+    state, _ = init_train_state(params)
+    n = params.means.shape[0]
+    dstate = init_densify_state(n, n)
+    # retire half the gaussians: they must collect no stats
+    active = jnp.arange(n) % 2 == 0
+    dstate = dstate._replace(active=active)
+
+    cams = [
+        look_at_camera((3.0, -2.5, 2.0), (0, 0, 0), (0, 0, 1),
+                       fov=70.0, width=64, height=64),
+        look_at_camera((-2.5, 3.0, 1.5), (0, 0, 0), (0, 0, 1),
+                       fov=70.0, width=64, height=64),
+    ]
+    views = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[c.to_view() for c in cams]
+    )
+    rng = np.random.default_rng(7)
+    targets = pad_targets(jnp.asarray(
+        rng.uniform(0, 1, (2, 3, 64, 64)), jnp.float32
+    ))
+
+    state2, dstate2, loss, overflow = step_fn(state, dstate, views, targets)
+    assert np.isfinite(float(loss))
+    assert not bool(overflow)
+    grad_sum = np.asarray(dstate2.grad_sum)
+    count = np.asarray(dstate2.count)
+    radii = np.asarray(dstate2.max_radii)
+    act = np.asarray(active)
+    assert (grad_sum[~act] == 0).all() and (count[~act] == 0).all()
+    assert (radii[~act] == 0).all()
+    assert grad_sum[act].max() > 0  # visible gaussians got screen grads
+    assert count[act].max() >= 1
+    assert radii[act].max() > 0

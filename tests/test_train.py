@@ -123,8 +123,49 @@ def test_batched_train_step_fits():
 
     losses = []
     for _ in range(25):
-        state, dstate, loss = step(state, dstate, views, targets)
+        state, dstate, loss, overflow = step(state, dstate, views, targets)
         losses.append(float(loss))
+    assert not bool(overflow)
     assert losses[-1] < losses[0] * 0.8, losses[::8]
     assert int(jnp.sum((dstate.count > 0))) > 0
     assert float(dstate.count.max()) >= 3.0  # visible in all 3 views
+
+
+def test_overflowing_step_is_detected():
+    """A step whose expansion exceeds max_pairs must SURFACE the overflow
+    (the reference silently corrupts past its L cap, app/main.cpp:245;
+    this framework's overflow story must hold in training too)."""
+    import jax
+
+    from luisacomputegaussiansplatting_tpu.config import RenderConfig
+    from luisacomputegaussiansplatting_tpu.io.synthetic import create_cube_scene
+    from luisacomputegaussiansplatting_tpu.models.densify import (
+        init_densify_state,
+    )
+    from luisacomputegaussiansplatting_tpu.models.trainer import (
+        init_train_state,
+        make_batched_train_step,
+        make_densify_train_step,
+    )
+    from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
+
+    w = h = 48
+    cfg = RenderConfig(max_pairs=16)  # far too small on purpose (27
+    # gaussians emit >= 27 entries, so expansion must overflow)
+    gt = create_cube_scene(nx=3, scale=0.12, opacity=0.9)
+    params = gt.to_params()
+    n = params.means.shape[0]
+    state, opt = init_train_state(params)
+    dstate = init_densify_state(n, n)
+    cam = look_at_camera((3.0, -2.5, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=w, height=h)
+    target = jnp.zeros((3, h, w), jnp.float32)
+
+    step1 = make_densify_train_step(opt, w, h, cfg=cfg)
+    _, _, _, aux = step1(state, dstate, cam.to_view(), target)
+    assert bool(aux.overflow)
+
+    stepb = make_batched_train_step(opt, w, h, cfg=cfg)
+    views = jax.tree.map(lambda *x: jnp.stack(x), cam.to_view())
+    _, _, _, overflow = stepb(state, dstate, views, target[None])
+    assert bool(overflow)
