@@ -112,6 +112,10 @@ class RenderConfig:
     #: use the Pallas rasterizer ("pallas") or the pure-jnp reference
     #: rasterizer ("jnp", only viable for tiny scenes).
     rasterizer: str = "pallas"
+    #: tile-rect expansion: "auto" (Pallas fused kernel when applicable,
+    #: see ops/expand_pallas.py), "pallas" (force), "xla" (scatter +
+    #: cummax + gather path — required for tile_cull and >2^24 pairs).
+    expansion: str = "auto"
     #: force Pallas interpret mode (automatic on non-TPU backends).
     interpret: bool | None = None
 

@@ -190,6 +190,43 @@ def expand_entries(
     return tile_id, depth, gid, total
 
 
+def expand_entries_auto(
+    proj: ProjectedGaussians,
+    grid_x: int,
+    num_tiles: int,
+    max_pairs: int,
+    opacities=None,
+    tile: int = 16,
+    alpha_min: float = 1.0 / 255.0,
+    expansion: str = "auto",
+    interpret=None,
+):
+    """Dispatch between the Pallas fused expansion kernel and the XLA
+    path. The Pallas kernel (ops/expand_pallas.py) replaces the
+    HBM-gather-bound slot lookup with a streamed one-hot MXU gather
+    (~10x at north-star scale); the XLA path remains for ellipse
+    culling (opacities given) and capacities beyond f32-exact range.
+    """
+    from .expand_pallas import expand_entries_pallas, fits_f32
+
+    use_pallas = (
+        expansion in ("auto", "pallas")
+        and opacities is None
+        and fits_f32(max_pairs, proj.tiles_touched.shape[0])
+    )
+    if expansion == "xla":
+        use_pallas = False
+    if use_pallas:
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return expand_entries_pallas(
+            proj, grid_x, num_tiles, max_pairs, interpret=interpret
+        )
+    return expand_entries(
+        proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min
+    )
+
+
 def pack_ranges(sorted_tile, num_tiles: int, capacity: int):
     """CHUNK-pad each tile's sorted range.
 
@@ -252,11 +289,13 @@ def bin_gaussians_nopack(
     opacities=None,
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
+    expansion: str = "auto",
 ) -> NoPackBinned:
     """Expand and sort splat entries; ranges stay unpadded (no-pack mode)."""
     num_tiles = grid_x * grid_y
-    tile_id, depth, gid, total = expand_entries(
-        proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min
+    tile_id, depth, gid, total = expand_entries_auto(
+        proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min,
+        expansion,
     )
     overflow = total > max_pairs
 
@@ -289,14 +328,16 @@ def bin_gaussians(
     opacities=None,
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
+    expansion: str = "auto",
 ) -> BinnedGaussians:
     """Expand, sort and tile-pack splat entries (single-shard path).
 
     Returns BinnedGaussians with ``capacity = max_pairs + num_tiles*CHUNK``.
     """
     num_tiles = grid_x * grid_y
-    tile_id, depth, gid, total = expand_entries(
-        proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min
+    tile_id, depth, gid, total = expand_entries_auto(
+        proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min,
+        expansion,
     )
     overflow = total > max_pairs
 

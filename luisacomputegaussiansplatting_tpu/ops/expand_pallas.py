@@ -1,0 +1,218 @@
+"""Pallas fused tile-rect expansion: gaussians -> (tile, depth, gid) entries.
+
+TPU-native replacement for the XLA expansion in ops/binning.py
+(scatter-heads + cummax forward-fill + one (L, K)-row gather), which is
+HBM-gather bound: the per-slot row gather costs ~12 ns/row — ~150 ms at
+the 13M-entry north-star scale. This kernel exploits *slot contiguity*
+instead: output slots of one gaussian are contiguous (starts = exclusive
+cumsum of tile counts), so an output chunk of S slots draws from a
+CONTIGUOUS row range of the per-gaussian table, which can be streamed
+HBM->VMEM sequentially and "gathered" with a one-hot interval-membership
+matmul on the MXU:
+
+    sel[s, r]  = (start_r <= s) & (s < end_r)        # disjoint intervals
+    vals[:, s] = table_window @ sel^T                 # (F, W) @ (W, S)
+
+Reference being replaced: the variable-fanout key scatter
+lcgs/src/gs_tile_splatter/shader.cpp:26-69 (shad_copy_with_keys), whose
+dynamic-offset scatter has no cheap TPU equivalent (SURVEY.md section 7
+"hard parts" (a)).
+
+All table fields ride as f32 (integers < 2^24 are exact in f32; callers
+must fall back to the XLA path when max_pairs or P exceed 2^24 — see
+`fits_f32`). Emission order within a gaussian is y-outer/x-inner,
+matching the reference scatter loop and the XLA path exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: output slots per grid step / table rows per streamed subwindow
+S = 512
+W = 512
+_F = 8  # table fields (see _build_table)
+
+_F32_EXACT = 1 << 24
+
+
+def fits_f32(max_pairs: int, num_gaussians: int) -> bool:
+    """Slot offsets and row ids must stay exact in f32."""
+    return max_pairs < _F32_EXACT and num_gaussians < _F32_EXACT
+
+
+def _expand_kernel(
+    row_lo_ref,  # (n_chunks,) int32 prefetch: 128-aligned first table row
+    n_sub_ref,  # (n_chunks,) int32 prefetch: subwindows to stream
+    table_hbm,  # (_F, P_pad) f32 field-major gaussian table
+    out_ref,  # (1, 8, S) f32 out: rows [tile_id, depth, gid, pad...]
+    buf,  # (2, _F, W) VMEM scratch
+    sems,  # (2,) DMA semaphores
+    *,
+    grid_x: int,
+    num_tiles: int,
+):
+    c = pl.program_id(0)
+    lo = row_lo_ref[c]
+    n_sub = n_sub_ref[c]
+    slot = (
+        jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(jnp.float32)
+        + c * S
+    )  # (S, 1) global slot index, exact in f32
+
+    def dma(sw):
+        slot_b = jax.lax.rem(sw, 2)
+        off = pl.multiple_of(lo + sw * W, 128)
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(off, W)], buf.at[slot_b], sems.at[slot_b]
+        )
+
+    @pl.when(n_sub > 0)
+    def _():
+        dma(0).start()
+
+    def body(sw, vals):
+        @pl.when(sw + 1 < n_sub)
+        def _():
+            dma(sw + 1).start()
+
+        dma(sw).wait()
+        cur = buf[jax.lax.rem(sw, 2)]  # (_F, W)
+        starts = cur[0:1, :]  # (1, W)
+        ends = cur[1:2, :]
+        # interval membership: each slot claimed by at most one row
+        # (intervals are disjoint; zero-extent rows claim nothing)
+        sel = jnp.logical_and(starts <= slot, slot < ends).astype(jnp.float32)
+        # (F, W) @ (W, S) contraction on the MXU = the row "gather"
+        vals = vals + jax.lax.dot_general(
+            cur,
+            sel,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (_F, S)
+        return vals
+
+    vals = jax.lax.fori_loop(
+        0, n_sub, body, jnp.zeros((_F, S), jnp.float32), unroll=False
+    )
+
+    start = vals[0:1, :]  # (1, S)
+    min_x = vals[2:3, :]
+    min_y = vals[3:4, :]
+    rect_w = vals[4:5, :]
+    depth = vals[5:6, :]
+    matched = vals[6:7, :] > 0.5  # the constant-one field
+    rowid = vals[7:8, :]
+
+    slot_t = slot.reshape(1, S)
+    local = slot_t - start
+    safe_w = jnp.maximum(rect_w, 1.0)
+    # float int division is exact-floor here: operands are exact ints and
+    # the quotient is < 2^11 with remainder/divisor bounded away from 1
+    ty = jnp.floor(local / safe_w)
+    tx = local - ty * safe_w
+    tile_id = (min_x + tx) + (min_y + ty) * grid_x
+
+    pad = jnp.zeros((5, S), jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [
+            jnp.where(matched, tile_id, float(num_tiles)),
+            jnp.where(matched, depth, jnp.inf),
+            jnp.where(matched, rowid, -1.0),
+            pad,
+        ],
+        axis=0,
+    )
+
+
+def expand_entries_pallas(
+    proj,
+    grid_x: int,
+    num_tiles: int,
+    max_pairs: int,
+    interpret: bool = False,
+):
+    """Pallas expansion; same contract as binning.expand_entries (without
+    the opacity-cull option — callers fall back to XLA for tile_cull).
+
+    Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
+    slots have tile_id == num_tiles, depth == +inf, gid == -1.
+    """
+    # expansion is structural (sort keys + indices): no gradients flow
+    # through it, and pallas_call has no JVP rule — cut the tangent path
+    proj = jax.tree.map(jax.lax.stop_gradient, proj)
+    counts = proj.tiles_touched.astype(jnp.int32)
+    p = counts.shape[0]
+    ends = jnp.cumsum(counts)
+    starts = ends - counts
+    total = ends[-1] if p > 0 else jnp.int32(0)
+
+    n_chunks = -(-max_pairs // S)
+    l_pad = n_chunks * S
+
+    # field-major f32 table; zero rows (start == end == 0) claim nothing
+    zeros = jnp.zeros((p,), jnp.float32)
+    table = jnp.stack(
+        [
+            starts.astype(jnp.float32),
+            jnp.minimum(ends, max_pairs).astype(jnp.float32),
+            proj.rect_min[:, 0].astype(jnp.float32),
+            proj.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(
+                proj.rect_max[:, 0] - proj.rect_min[:, 0], 1
+            ).astype(jnp.float32),
+            proj.depth.astype(jnp.float32),
+            zeros + 1.0,  # matched flag
+            jnp.arange(p, dtype=jnp.float32),  # row id -> gid
+        ],
+        axis=0,
+    )  # (_F, P)
+    # lane padding so any 128-aligned (F, W) slice stays in bounds
+    table = jnp.concatenate(
+        [table, jnp.zeros((_F, W + 128), jnp.float32)], axis=1
+    )
+
+    # per-chunk contiguous row spans (two searchsorteds, XLA-side)
+    bounds_lo = jnp.arange(n_chunks, dtype=jnp.int32) * S
+    bounds_hi = bounds_lo + S
+    lo = jnp.searchsorted(ends, bounds_lo, side="right").astype(jnp.int32)
+    hi = jnp.searchsorted(starts, bounds_hi, side="left").astype(jnp.int32)
+    lo_al = (lo // 128) * 128
+    n_sub = jnp.maximum(-(-(hi - lo_al) // W), 0).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, S), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, _F, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _expand_kernel, grid_x=grid_x, num_tiles=num_tiles
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 8, S), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(lo_al, n_sub, table)
+
+    # rows 0..2 hold [tile_id, depth, gid] as f32 (ints < 2^24 are exact)
+    tile_id = out[:, 0, :].reshape(l_pad)[:max_pairs].astype(jnp.int32)
+    depth = out[:, 1, :].reshape(l_pad)[:max_pairs]
+    gid = out[:, 2, :].reshape(l_pad)[:max_pairs].astype(jnp.int32)
+    return tile_id, depth, gid, total

@@ -373,6 +373,24 @@ def _backward_kernel(
     cg_total = c_fin_r * g_r + c_fin_g * g_g + c_fin_b * g_b
     tail = t_fin * g_t  # T_final * dL/dT_final
 
+    # MXU operand shared by every chunk: the (8, pix) pixel polynomial
+    # basis of the moment contraction (see body). Built directly in
+    # lane-major layout from iotas — no in-kernel transpose. The basis
+    # uses TILE-LOCAL pixel coordinates: global coords make the moment
+    # recombination cancel catastrophically in f32 (mx^2*S0 terms ~1e6
+    # vs gradients ~1e0).
+    tx0 = (((offset_ref[0] + tile) % grid_x) * cfg.tile).astype(jnp.float32)
+    ty0 = (((offset_ref[0] + tile) // grid_x) * cfg.tile).astype(jnp.float32)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    pxl_t = (lane_p % cfg.tile).astype(jnp.float32)  # (1, pix) tile-local x
+    pyl_t = (lane_p // cfg.tile).astype(jnp.float32)
+    zrow = jnp.zeros((1, pix), jnp.float32)
+    basis_t = jnp.concatenate(
+        [jnp.ones((1, pix), jnp.float32), pxl_t, pyl_t, pxl_t * pxl_t,
+         pyl_t * pyl_t, pxl_t * pyl_t, zrow, zrow],
+        axis=0,
+    )  # (8, pix)
+
     def in_dma(c):
         slot = jax.lax.rem(c, 2)
         off = pl.multiple_of(base + c * CHUNK, CHUNK)
@@ -457,15 +475,12 @@ def _backward_kernel(
             rmask = (idx >= start) & (idx < end)
         f = _chunk_blend(cur, px, py, t_in, ut, cfg, rmask)
         alpha, w, applied = f["alpha"], f["w"], f["applied"]
-        dx, dy, g = f["dx"], f["dy"], f["g"]
 
+        hi = jax.lax.Precision.HIGHEST
         b = cur[6:7, :] * g_r + cur[7:8, :] * g_g + cur[8:9, :] * g_b
         wb = w * b
         prefix_inc = prefix + jax.lax.dot(
-            wb,
-            ut,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            wb, ut, preferred_element_type=jnp.float32, precision=hi
         )
         suffix = cg_total - prefix_inc
         d_alpha = f["t_before"] * b - (suffix + tail) / (1.0 - alpha)
@@ -474,13 +489,31 @@ def _backward_kernel(
         d_alpha = jnp.where(live, d_alpha, 0.0)
         d_pow = d_alpha * alpha  # d(alpha)/d(power) = opacity * g = alpha
 
+        # The position/conic gradients need six pixel reductions of
+        # d_pow against [1, x, y, x^2, y^2, xy]; ONE (8, pix) @ (pix,
+        # CHUNK) MXU contraction replaces ~20 VPU ops per pair. The raw
+        # moments S0..Sxy recombine per entry ((1, CHUNK) VPU vectors)
+        # into the exact quadratic-form gradients because dx = mx - px
+        # is affine in px.
+        mom = jax.lax.dot(
+            basis_t, d_pow, preferred_element_type=jnp.float32, precision=hi
+        )  # (8, chunk)
+        s0, sx, sy = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+        sxx, syy, sxy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+
         ca, cb_, cc = cur[2:3, :], cur[3:4, :], cur[4:5, :]
-        d_mx = jnp.sum(d_pow * -(ca * dx + cb_ * dy), axis=0, keepdims=True)
-        d_my = jnp.sum(d_pow * -(cc * dy + cb_ * dx), axis=0, keepdims=True)
-        d_ca = jnp.sum(d_pow * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(d_pow * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(d_pow * (-0.5 * dy * dy), axis=0, keepdims=True)
-        d_op = jnp.sum(d_alpha * g, axis=0, keepdims=True)
+        op = cur[5:6, :]
+        mxl = cur[0:1, :] - tx0  # tile-local mean (matches the basis)
+        myl = cur[1:2, :] - ty0
+        dxs = mxl * s0 - sx  # sum_p d_pow * dx
+        dys = myl * s0 - sy
+        d_mx = -(ca * dxs + cb_ * dys)
+        d_my = -(cc * dys + cb_ * dxs)
+        d_ca = -0.5 * (mxl * mxl * s0 - 2.0 * mxl * sx + sxx)
+        d_cb = -(mxl * myl * s0 - mxl * sy - myl * sx + sxy)
+        d_cc = -0.5 * (myl * myl * s0 - 2.0 * myl * sy + syy)
+        # sum_p d_alpha * g == sum_p d_pow / op (alpha = op*g where live)
+        d_op = jnp.where(op > 0.0, s0 / jnp.where(op > 0.0, op, 1.0), 0.0)
         d_r = jnp.sum(w * g_r, axis=0, keepdims=True)
         d_g = jnp.sum(w * g_g, axis=0, keepdims=True)
         d_b = jnp.sum(w * g_b, axis=0, keepdims=True)

@@ -160,12 +160,12 @@ def render_view(
     if cfg.pack_mode == "chunk":
         binned = bin_gaussians(
             proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
-            cfg.alpha_min,
+            cfg.alpha_min, cfg.expansion,
         )
     elif cfg.pack_mode == "none":
         binned = bin_gaussians_nopack(
             proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
-            cfg.alpha_min,
+            cfg.alpha_min, cfg.expansion,
         )
     else:
         raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")

@@ -40,7 +40,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from ..config import CHUNK, RenderConfig
 from ..utils.camera import Camera, CameraView
-from ..ops.binning import expand_entries, pack_ranges
+from ..ops.binning import expand_entries_auto, pack_ranges
 from ..ops.projection import project_gaussians, tile_grid
 from ..ops.rasterize_pallas import FIELDS, PAYLOAD_ROWS, rasterize_tiles
 from ..ops.sh_eval import compute_colors
@@ -198,8 +198,9 @@ def _render_shard(
 
     l_loc = scfg.max_pairs_local
     cull_op = opacities if cfg.tile_cull else None
-    tile_id, depth, gid, total = expand_entries(
-        proj, grid_x, num_tiles_padded, l_loc, cull_op, tile, cfg.alpha_min
+    tile_id, depth, gid, total = expand_entries_auto(
+        proj, grid_x, num_tiles_padded, l_loc, cull_op, tile,
+        cfg.alpha_min, cfg.expansion,
     )
     overflow = total > l_loc
 

@@ -79,6 +79,73 @@ def test_chunk_alignment(setup):
         assert np.all(seg_tile[seg_tile >= 0] == t)
 
 
+@pytest.mark.parametrize("maxp", [256, 4096, 50_000])
+def test_pallas_expansion_equals_xla(maxp):
+    """The fused Pallas expansion kernel (ops/expand_pallas.py) must
+    reproduce the XLA scatter+cummax+gather path bit-exactly, including
+    capacity truncation mid-gaussian and culled (zero-extent) rows."""
+    from luisacomputegaussiansplatting_tpu.ops.binning import (
+        expand_entries,
+    )
+    from luisacomputegaussiansplatting_tpu.ops.expand_pallas import (
+        expand_entries_pallas,
+    )
+
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(96, seed=11, scale_range=(0.02, 0.3))
+    cfg = RenderConfig()
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam, cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    nt = gx * gy
+
+    t_x, d_x, g_x, tot_x = expand_entries(proj, gx, nt, maxp)
+    t_p, d_p, g_p, tot_p = expand_entries_pallas(
+        proj, gx, nt, maxp, interpret=True
+    )
+    assert int(tot_x) == int(tot_p)
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(g_x), np.asarray(g_p))
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
+
+
+def test_pallas_expansion_empty_and_culled():
+    from luisacomputegaussiansplatting_tpu.ops.binning import expand_entries
+    from luisacomputegaussiansplatting_tpu.ops.expand_pallas import (
+        expand_entries_pallas,
+    )
+
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(32, seed=3)
+    cfg = RenderConfig()
+    # cull every other gaussian: zero-extent rows interleave
+    import jax.numpy as jnp
+
+    mask = jnp.arange(32) % 2 == 0
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam,
+                             cfg, active_mask=mask)
+    gx, gy = tile_grid(cam.width, cam.height)
+    nt = gx * gy
+    t_x, d_x, g_x, tot_x = expand_entries(proj, gx, nt, 2048)
+    t_p, d_p, g_p, tot_p = expand_entries_pallas(
+        proj, gx, nt, 2048, interpret=True
+    )
+    assert int(tot_x) == int(tot_p)
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(g_x), np.asarray(g_p))
+
+    # fully-culled scene: every slot is the sentinel
+    proj0 = project_gaussians(scene.means, scene.scales, scene.quats, cam,
+                              cfg, active_mask=jnp.zeros((32,), bool))
+    t_p0, d_p0, g_p0, tot0 = expand_entries_pallas(
+        proj0, gx, nt, 1024, interpret=True
+    )
+    assert int(tot0) == 0
+    assert np.all(np.asarray(g_p0) == -1)
+    assert np.all(np.asarray(t_p0) == nt)
+
+
 def test_overflow_flag():
     cam = look_at_camera((2.0, -2.0, 1.0), (0, 0, 0), (0, 0, 1),
                          width=64, height=64)

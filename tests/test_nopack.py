@@ -57,7 +57,9 @@ def test_backward_matches_packed(name, scene):
         loss(RenderConfig(max_pairs=60_000, pack_mode="none")),
         argnums=(0, 1, 2, 3, 4),
     ))(*scene.render_args())
-    atol = 1e-5 if name == "sparse" else 2e-3
+    # chunk boundaries differ between the modes, so the backward MXU
+    # moment sums regroup differently; ~2e-4 relative is fp noise
+    atol = 3e-5 if name == "sparse" else 2e-3
     for a, b in zip(gp, gn):
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(b).all()
