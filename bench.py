@@ -42,7 +42,8 @@ def main():
     # tile=32 is the production-fast configuration (pairs ~halve for
     # small-splat scenes; image differs from tile=16 only by sub-cutoff
     # tail contributions, mean |diff| ~2e-4 — tests/test_tile32.py).
-    cfg = RenderConfig(max_pairs=4_500_000, tile=32, pack_mode="none")
+    cfg = RenderConfig(max_pairs=4_500_000, tile=32, pack_mode="none",
+                       tile_cull=True)
 
     cam = look_at_camera(
         (3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),

@@ -92,11 +92,12 @@ class RenderConfig:
     #: exact ellipse-tile culling during binning: drop AABB entries whose
     #: tile cannot receive any alpha >= 1/255 contribution (closed-form
     #: minimum of the conic quadratic over the tile). Output exact up to
-    #: float summation regrouping. Measured on v5e: the per-slot test
-    #: (wider gather + edge math over the full capacity) costs more than
-    #: the 20-30% shorter rasterizer ranges save, so OFF by default —
-    #: worth enabling only for extremely anisotropic scenes, and the
-    #: natural home for the test is a future fused expansion kernel.
+    #: float summation regrouping. With expansion="auto"/"pallas" the
+    #: test runs INSIDE the fused expansion kernel for ~free and shrinks
+    #: every per-tile rasterizer range 20-30% — recommended for perf
+    #: configs (bench.py uses it). The XLA-expansion fallback pays a
+    #: per-slot post-pass that measured net-negative on v5e, so the
+    #: default stays False (also keeps strict reference binning counts).
     tile_cull: bool = False
 
     #: splat-entry layout for the rasterizer. "chunk" (reference-faithful
@@ -114,8 +115,15 @@ class RenderConfig:
     rasterizer: str = "pallas"
     #: tile-rect expansion: "auto" (Pallas fused kernel when applicable,
     #: see ops/expand_pallas.py), "pallas" (force), "xla" (scatter +
-    #: cummax + gather path — required for tile_cull and >2^24 pairs).
+    #: cummax + gather path — required for >2^24 pairs).
     expansion: str = "auto"
+
+    #: per-entry gradient precision through the backward reduction sort:
+    #: "f32" (bit-exact reduction) or "bf16" (rows ride the sort packed
+    #: in bf16 pairs — 40% fewer bytes through the dominant backward
+    #: sort; ~2^-9 relative per-entry rounding, far below SGD gradient
+    #: noise; per-gaussian sums stay f32).
+    grad_reduce_dtype: str = "f32"
     #: force Pallas interpret mode (automatic on non-TPU backends).
     interpret: bool | None = None
 

@@ -204,15 +204,13 @@ def expand_entries_auto(
     """Dispatch between the Pallas fused expansion kernel and the XLA
     path. The Pallas kernel (ops/expand_pallas.py) replaces the
     HBM-gather-bound slot lookup with a streamed one-hot MXU gather
-    (~10x at north-star scale); the XLA path remains for ellipse
-    culling (opacities given) and capacities beyond f32-exact range.
+    (~2x at north-star scale) and applies the ellipse cull in-flight;
+    the XLA path remains for capacities beyond the f32-exact range.
     """
     from .expand_pallas import expand_entries_pallas, fits_f32
 
-    use_pallas = (
-        expansion in ("auto", "pallas")
-        and opacities is None
-        and fits_f32(max_pairs, proj.tiles_touched.shape[0])
+    use_pallas = expansion in ("auto", "pallas") and fits_f32(
+        max_pairs, proj.tiles_touched.shape[0]
     )
     if expansion == "xla":
         use_pallas = False
@@ -220,7 +218,8 @@ def expand_entries_auto(
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         return expand_entries_pallas(
-            proj, grid_x, num_tiles, max_pairs, interpret=interpret
+            proj, grid_x, num_tiles, max_pairs, opacities, tile,
+            alpha_min, interpret=interpret,
         )
     return expand_entries(
         proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min

@@ -13,6 +13,19 @@ matmul on the MXU:
     sel[s, r]  = (start_r <= s) & (s < end_r)        # disjoint intervals
     vals[:, s] = table_window @ sel^T                 # (F, W) @ (W, S)
 
+The one-hot gather is BIT-EXACT for f32 values under Precision.HIGHEST:
+a value splits into three bf16 terms of strictly decreasing magnitude
+whose selected products re-sum exactly in f32.
+
+With ``opacities`` given, the kernel also applies the exact ellipse-tile
+cull from binning.expand_entries in-flight: an entry whose tile cannot
+receive any alpha >= alpha_min contribution (closed-form minimum of the
+conic quadratic over the tile's pixel box) is invalidated. Unlike the
+XLA post-pass (measured net-negative: the per-slot test over the full
+capacity cost more than shorter rasterizer ranges saved), the in-kernel
+test rides the already-streamed table for ~free and shrinks every
+per-tile range downstream.
+
 Reference being replaced: the variable-fanout key scatter
 lcgs/src/gs_tile_splatter/shader.cpp:26-69 (shad_copy_with_keys), whose
 dynamic-offset scatter has no cheap TPU equivalent (SURVEY.md section 7
@@ -36,7 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 #: output slots per grid step / table rows per streamed subwindow
 S = 512
 W = 512
-_F = 8  # table fields (see _build_table)
 
 _F32_EXACT = 1 << 24
 
@@ -49,13 +61,17 @@ def fits_f32(max_pairs: int, num_gaussians: int) -> bool:
 def _expand_kernel(
     row_lo_ref,  # (n_chunks,) int32 prefetch: 128-aligned first table row
     n_sub_ref,  # (n_chunks,) int32 prefetch: subwindows to stream
-    table_hbm,  # (_F, P_pad) f32 field-major gaussian table
+    table_hbm,  # (nf, P_pad) f32 field-major gaussian table
     out_ref,  # (1, 8, S) f32 out: rows [tile_id, depth, gid, pad...]
-    buf,  # (2, _F, W) VMEM scratch
+    buf,  # (2, nf, W) VMEM scratch
     sems,  # (2,) DMA semaphores
     *,
     grid_x: int,
     num_tiles: int,
+    nf: int,
+    cull: bool,
+    tile: int,
+    alpha_min: float,
 ):
     c = pl.program_id(0)
     lo = row_lo_ref[c]
@@ -82,24 +98,24 @@ def _expand_kernel(
             dma(sw + 1).start()
 
         dma(sw).wait()
-        cur = buf[jax.lax.rem(sw, 2)]  # (_F, W)
+        cur = buf[jax.lax.rem(sw, 2)]  # (nf, W)
         starts = cur[0:1, :]  # (1, W)
         ends = cur[1:2, :]
         # interval membership: each slot claimed by at most one row
         # (intervals are disjoint; zero-extent rows claim nothing)
         sel = jnp.logical_and(starts <= slot, slot < ends).astype(jnp.float32)
-        # (F, W) @ (W, S) contraction on the MXU = the row "gather"
+        # (nf, W) @ (W, S) contraction on the MXU = the row "gather"
         vals = vals + jax.lax.dot_general(
             cur,
             sel,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (_F, S)
+        )  # (nf, S)
         return vals
 
     vals = jax.lax.fori_loop(
-        0, n_sub, body, jnp.zeros((_F, S), jnp.float32), unroll=False
+        0, n_sub, body, jnp.zeros((nf, S), jnp.float32), unroll=False
     )
 
     start = vals[0:1, :]  # (1, S)
@@ -117,7 +133,45 @@ def _expand_kernel(
     # the quotient is < 2^11 with remainder/divisor bounded away from 1
     ty = jnp.floor(local / safe_w)
     tx = local - ty * safe_w
-    tile_id = (min_x + tx) + (min_y + ty) * grid_x
+    tile_x = min_x + tx
+    tile_y = min_y + ty
+    tile_id = tile_x + tile_y * grid_x
+
+    if cull:
+        # exact ellipse-tile cull (mirrors binning.expand_entries):
+        # minimum of q(d) = 0.5 d^T conic d over the tile pixel box
+        mx, my = vals[8:9, :], vals[9:10, :]
+        ca, cb, cc = vals[10:11, :], vals[11:12, :], vals[12:13, :]
+        op = vals[13:14, :]
+        x0 = tile_x * tile
+        x1 = x0 + (tile - 1)
+        y0 = tile_y * tile
+        y1 = y0 + (tile - 1)
+        inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
+
+        def q(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(xe):
+            dx = xe - mx
+            ys = jnp.clip(my - (cb / jnp.maximum(cc, 1e-12)) * dx, y0, y1)
+            return q(dx, ys - my)
+
+        def edge_y(ye):
+            dy = ye - my
+            xs = jnp.clip(mx - (cb / jnp.maximum(ca, 1e-12)) * dy, x0, x1)
+            return q(xs - mx, dy)
+
+        q_min = jnp.where(
+            inside,
+            0.0,
+            jnp.minimum(
+                jnp.minimum(edge_x(x0), edge_x(x1)),
+                jnp.minimum(edge_y(y0), edge_y(y1)),
+            ),
+        )
+        reaches = q_min <= jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
+        matched = matched & reaches
 
     pad = jnp.zeros((5, S), jnp.float32)
     out_ref[0] = jnp.concatenate(
@@ -136,10 +190,13 @@ def expand_entries_pallas(
     grid_x: int,
     num_tiles: int,
     max_pairs: int,
+    opacities=None,
+    tile: int = 16,
+    alpha_min: float = 1.0 / 255.0,
     interpret: bool = False,
 ):
-    """Pallas expansion; same contract as binning.expand_entries (without
-    the opacity-cull option — callers fall back to XLA for tile_cull).
+    """Pallas expansion; same contract as binning.expand_entries,
+    including the optional exact ellipse-tile cull (``opacities``).
 
     Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
     slots have tile_id == num_tiles, depth == +inf, gid == -1.
@@ -147,6 +204,9 @@ def expand_entries_pallas(
     # expansion is structural (sort keys + indices): no gradients flow
     # through it, and pallas_call has no JVP rule — cut the tangent path
     proj = jax.tree.map(jax.lax.stop_gradient, proj)
+    cull = opacities is not None
+    if cull:
+        opacities = jax.lax.stop_gradient(opacities.reshape(-1))
     counts = proj.tiles_touched.astype(jnp.int32)
     p = counts.shape[0]
     ends = jnp.cumsum(counts)
@@ -158,24 +218,34 @@ def expand_entries_pallas(
 
     # field-major f32 table; zero rows (start == end == 0) claim nothing
     zeros = jnp.zeros((p,), jnp.float32)
-    table = jnp.stack(
-        [
-            starts.astype(jnp.float32),
-            jnp.minimum(ends, max_pairs).astype(jnp.float32),
-            proj.rect_min[:, 0].astype(jnp.float32),
-            proj.rect_min[:, 1].astype(jnp.float32),
-            jnp.maximum(
-                proj.rect_max[:, 0] - proj.rect_min[:, 0], 1
-            ).astype(jnp.float32),
-            proj.depth.astype(jnp.float32),
-            zeros + 1.0,  # matched flag
-            jnp.arange(p, dtype=jnp.float32),  # row id -> gid
-        ],
-        axis=0,
-    )  # (_F, P)
-    # lane padding so any 128-aligned (F, W) slice stays in bounds
+    fields = [
+        starts.astype(jnp.float32),
+        jnp.minimum(ends, max_pairs).astype(jnp.float32),
+        proj.rect_min[:, 0].astype(jnp.float32),
+        proj.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(
+            proj.rect_max[:, 0] - proj.rect_min[:, 0], 1
+        ).astype(jnp.float32),
+        proj.depth.astype(jnp.float32),
+        zeros + 1.0,  # matched flag
+        jnp.arange(p, dtype=jnp.float32),  # row id -> gid
+    ]
+    if cull:
+        fields += [
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            opacities,
+            zeros,
+            zeros,
+        ]
+    nf = len(fields)
+    table = jnp.stack(fields, axis=0)  # (nf, P)
+    # lane padding so any 128-aligned (nf, W) slice stays in bounds
     table = jnp.concatenate(
-        [table, jnp.zeros((_F, W + 128), jnp.float32)], axis=1
+        [table, jnp.zeros((nf, W + 128), jnp.float32)], axis=1
     )
 
     # per-chunk contiguous row spans (two searchsorteds, XLA-side)
@@ -194,12 +264,13 @@ def expand_entries_pallas(
             (1, 8, S), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _F, W), jnp.float32),
+            pltpu.VMEM((2, nf, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _expand_kernel, grid_x=grid_x, num_tiles=num_tiles
+        _expand_kernel, grid_x=grid_x, num_tiles=num_tiles, nf=nf,
+        cull=cull, tile=tile, alpha_min=alpha_min,
     )
     out = pl.pallas_call(
         kernel,

@@ -86,10 +86,23 @@ def _should_interpret(cfg: RenderConfig) -> bool:
 
 def _upper_triangular():
     """(CHUNK, CHUNK) ones on and above the diagonal: x @ UT computes an
-    inclusive prefix sum over the gaussian (lane) axis on the MXU."""
+    inclusive prefix sum over the gaussian (lane) axis on the MXU.
+
+    Measured on v5e at 12.6M pairs: the kernels are VPU-bound; MXU pass
+    count is immaterial (a deliberately-wrong single-pass bf16 variant
+    timed identically), so the matmuls simply use exact HIGHEST.
+    """
     rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     return (rows <= cols).astype(jnp.float32)
+
+
+def _prefix_dot(x, ut):
+    """Inclusive prefix sum over lanes via the UT matmul."""
+    return jax.lax.dot(
+        x, ut, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _pixel_coords(tile_idx, grid_x: int, width: int, height: int, tile: int):
@@ -142,16 +155,7 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
     alpha = jnp.where(live, alpha, 0.0)
 
     log1ma = jnp.log1p(-alpha)
-    # HIGH = 3-pass bf16x3 instead of HIGHEST's 6 passes on the hottest
-    # matmul. The ut operand is exact 0/1 (bf16-representable), so the
-    # dropped cross terms leave ~2^-22 relative error in the prefix —
-    # orders below the blend cutoffs and every test tolerance.
-    s_inc = jax.lax.dot(
-        log1ma,
-        ut,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
-    )  # inclusive prefix over the gaussian axis
+    s_inc = _prefix_dot(log1ma, ut)  # inclusive prefix, gaussian axis
     t_after = t_in * jnp.exp(s_inc)
     # t_before = t_in * exp(s_inc - log1ma) == t_after / (1 - alpha):
     # one reciprocal instead of a second transcendental per pair
@@ -483,11 +487,7 @@ def _backward_kernel(
         hi = jax.lax.Precision.HIGHEST
         b = cur[6:7, :] * g_r + cur[7:8, :] * g_g + cur[8:9, :] * g_b
         wb = w * b
-        # ut is exact 0/1: HIGH precision suffices (see _chunk_blend)
-        prefix_inc = prefix + jax.lax.dot(
-            wb, ut, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
-        )
+        prefix_inc = prefix + _prefix_dot(wb, ut)
         suffix = cg_total - prefix_inc
         d_alpha = f["t_before"] * b - (suffix + tail) / (1.0 - alpha)
         # alpha = min(alpha_max, opacity * g): zero grad where clamped

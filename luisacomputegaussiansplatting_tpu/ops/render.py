@@ -54,8 +54,8 @@ def payload_table(proj: ProjectedGaussians, colors, opacities):
     return cols
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_payload(table, entry_gid, n_rows: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_payload(table, entry_gid, n_rows: int, reduce_dtype: str = "f32"):
     """(N, FIELDS) table + (capacity,) gid -> (FIELDS, capacity) payload.
 
     One fused row gather instead of one gather per field: XLA TPU gathers
@@ -77,11 +77,11 @@ def gather_payload(table, entry_gid, n_rows: int):
     return jnp.concatenate([rows.T, pad], axis=0)
 
 
-def _gather_payload_fwd(table, entry_gid, n_rows: int):
-    return gather_payload(table, entry_gid, n_rows), entry_gid
+def _gather_payload_fwd(table, entry_gid, n_rows: int, reduce_dtype: str = "f32"):
+    return gather_payload(table, entry_gid, n_rows, reduce_dtype), entry_gid
 
 
-def _gather_payload_bwd(n_rows, entry_gid, d_payload):
+def _gather_payload_bwd(n_rows, reduce_dtype, entry_gid, d_payload):
     # field-major reduction: d_payload's field rows ride the sort as
     # lax.sort operands, skipping a 13M-row gather and a transpose
     interpret = jax.default_backend() != "tpu"
@@ -90,6 +90,7 @@ def _gather_payload_bwd(n_rows, entry_gid, d_payload):
         tuple(d_payload[i] for i in range(FIELDS)),
         n_rows,
         interpret=interpret,
+        dtype=reduce_dtype,
     )
     d_gid = np.broadcast_to(
         np.zeros((), dtype=jax.dtypes.float0), entry_gid.shape
@@ -100,10 +101,20 @@ def _gather_payload_bwd(n_rows, entry_gid, d_payload):
 gather_payload.defvjp(_gather_payload_fwd, _gather_payload_bwd)
 
 
-def build_payload(proj: ProjectedGaussians, colors, opacities, binned: BinnedGaussians):
-    """Gather the (FIELDS, capacity) field-major payload (differentiable)."""
+def build_payload(
+    proj: ProjectedGaussians,
+    colors,
+    opacities,
+    binned: BinnedGaussians,
+    reduce_dtype: str = "f32",
+):
+    """Gather the (FIELDS, capacity) field-major payload (differentiable).
+
+    reduce_dtype: precision of the per-entry gradient rows through the
+    VJP's reduction sort (see segsum.reduce_fields_by_id).
+    """
     table = payload_table(proj, colors, opacities)
-    return gather_payload(table, binned.entry_gid, table.shape[0])
+    return gather_payload(table, binned.entry_gid, table.shape[0], reduce_dtype)
 
 
 def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int, tile: int = TILE):
@@ -169,7 +180,9 @@ def render_view(
         )
     else:
         raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")
-    payload = build_payload(proj, colors, opacities, binned)
+    payload = build_payload(
+        proj, colors, opacities, binned, cfg.grad_reduce_dtype
+    )
 
     if cfg.rasterizer == "pallas":
         color, trans = rasterize_tiles(

@@ -109,6 +109,42 @@ def test_pallas_expansion_equals_xla(maxp):
     np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
 
 
+def test_pallas_expansion_cull_equals_xla():
+    """In-kernel ellipse-tile culling must match the XLA tile_cull path
+    entry for entry."""
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.ops.binning import expand_entries
+    from luisacomputegaussiansplatting_tpu.ops.expand_pallas import (
+        expand_entries_pallas,
+    )
+
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(200, seed=17, scale_range=(0.01, 0.2))
+    cfg = RenderConfig()
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam, cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    nt = gx * gy
+    op = jnp.asarray(scene.opacities)
+
+    t_x, d_x, g_x, tot_x = expand_entries(proj, gx, nt, 20_000, op)
+    t_p, d_p, g_p, tot_p = expand_entries_pallas(
+        proj, gx, nt, 20_000, op, interpret=True
+    )
+    assert int(tot_x) == int(tot_p)
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(g_x), np.asarray(g_p))
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
+    # the cull must actually drop something in this anisotropic scene
+    t_no, _, _, _ = expand_entries_pallas(
+        proj, gx, nt, 20_000, interpret=True
+    )
+    assert int(np.sum(np.asarray(t_p) == nt)) > int(
+        np.sum(np.asarray(t_no) == nt)
+    )
+
+
 def test_pallas_expansion_empty_and_culled():
     from luisacomputegaussiansplatting_tpu.ops.binning import expand_entries
     from luisacomputegaussiansplatting_tpu.ops.expand_pallas import (

@@ -114,6 +114,27 @@ def test_finite_differences(grads, argnum):
             )
 
 
+def test_bf16_grad_reduce_close_to_f32():
+    """grad_reduce_dtype='bf16' (packed-pair reduction sort) must agree
+    with the exact f32 reduction to bf16 rounding noise."""
+    args = scene_arrays()
+    bg = jnp.zeros((3,), jnp.float32)
+    g32 = jax.jit(jax.grad(loss_fn(CFG_PALLAS), argnums=(0, 1, 2, 3, 4)))(
+        *args, bg
+    )
+    cfg16 = RenderConfig(max_pairs=10_000, grad_reduce_dtype="bf16")
+    g16 = jax.jit(jax.grad(loss_fn(cfg16), argnums=(0, 1, 2, 3, 4)))(
+        *args, bg
+    )
+    for name, a, b in zip("msqoh", g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                   err_msg=name)
+        # and it must not be trivially zero
+        assert np.abs(b).max() > 0
+
+
 def test_bg_gradient_exact(grads):
     args, bg, g_pallas, _ = grads
     # dL/dbg = sum over pixels of w_img * T  — check against aux T
