@@ -89,6 +89,13 @@ class RenderConfig:
     #: maximum number of (tile, depth) pairs before per-tile chunk padding.
     max_pairs: int = 2_000_000
 
+    #: optional smaller static capacity for the POST-sort entry stream
+    #: (None = max_pairs). With tile_cull on, culled slots sort last, so
+    #: the payload gather / rasterizer / backward reduction can run at
+    #: the post-cull size while expansion still covers the full AABB
+    #: count. Truncating a valid entry raises the overflow flag.
+    max_pairs_sorted: int | None = None
+
     #: exact ellipse-tile culling during binning: drop AABB entries whose
     #: tile cannot receive any alpha >= 1/255 contribution (closed-form
     #: minimum of the conic quadratic over the tile). Output exact up to

@@ -289,8 +289,17 @@ def bin_gaussians_nopack(
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
     expansion: str = "auto",
+    max_sorted: int | None = None,
 ) -> NoPackBinned:
-    """Expand and sort splat entries; ranges stay unpadded (no-pack mode)."""
+    """Expand and sort splat entries; ranges stay unpadded (no-pack mode).
+
+    max_sorted: optional smaller static capacity for the post-sort
+    stream. Valid entries compact to a prefix after the sort (invalid /
+    ellipse-culled slots carry the sentinel tile and sort last), so with
+    tile_cull on, the payload gather and backward reduction can run at
+    the post-cull size instead of the AABB expansion capacity. Truncating
+    a VALID entry raises the overflow flag.
+    """
     num_tiles = grid_x * grid_y
     tile_id, depth, gid, total = expand_entries_auto(
         proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min,
@@ -301,6 +310,11 @@ def bin_gaussians_nopack(
     sorted_tile, _d, sorted_gid = jax.lax.sort(
         (tile_id, depth, gid), num_keys=2, is_stable=True
     )
+    if max_sorted is not None and max_sorted < max_pairs:
+        cap = _round_up_chunk(max_sorted)
+        overflow |= sorted_gid[cap] >= 0  # a valid entry got cut off
+        sorted_tile = sorted_tile[:cap]
+        sorted_gid = sorted_gid[:cap]
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
@@ -319,6 +333,10 @@ def bin_gaussians_nopack(
     )
 
 
+def _round_up_chunk(x: int) -> int:
+    return (x + CHUNK - 1) // CHUNK * CHUNK
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     grid_x: int,
@@ -328,10 +346,12 @@ def bin_gaussians(
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
     expansion: str = "auto",
+    max_sorted: int | None = None,
 ) -> BinnedGaussians:
     """Expand, sort and tile-pack splat entries (single-shard path).
 
     Returns BinnedGaussians with ``capacity = max_pairs + num_tiles*CHUNK``.
+    max_sorted: see bin_gaussians_nopack.
     """
     num_tiles = grid_x * grid_y
     tile_id, depth, gid, total = expand_entries_auto(
@@ -346,8 +366,14 @@ def bin_gaussians(
     sorted_tile, _d, sorted_gid = jax.lax.sort(
         (tile_id, depth, gid), num_keys=2, is_stable=True
     )
+    eff_pairs = max_pairs
+    if max_sorted is not None and max_sorted < max_pairs:
+        eff_pairs = _round_up_chunk(max_sorted)
+        overflow |= sorted_gid[eff_pairs] >= 0
+        sorted_tile = sorted_tile[:eff_pairs]
+        sorted_gid = sorted_gid[:eff_pairs]
 
-    capacity = max_pairs + num_tiles * CHUNK
+    capacity = eff_pairs + num_tiles * CHUNK
     src, in_range, slot_tile, tile_starts, tile_counts = pack_ranges(
         sorted_tile, num_tiles, capacity
     )

@@ -171,12 +171,12 @@ def render_view(
     if cfg.pack_mode == "chunk":
         binned = bin_gaussians(
             proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
-            cfg.alpha_min, cfg.expansion,
+            cfg.alpha_min, cfg.expansion, cfg.max_pairs_sorted,
         )
     elif cfg.pack_mode == "none":
         binned = bin_gaussians_nopack(
             proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
-            cfg.alpha_min, cfg.expansion,
+            cfg.alpha_min, cfg.expansion, cfg.max_pairs_sorted,
         )
     else:
         raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")

@@ -182,6 +182,40 @@ def test_pallas_expansion_empty_and_culled():
     assert np.all(np.asarray(t_p0) == nt)
 
 
+def test_max_pairs_sorted_trim():
+    """Post-sort capacity trim: same image when it covers the valid
+    entries, overflow flag when it would truncate one."""
+    import jax
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.ops.render import render_aux
+
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(200, seed=17, scale_range=(0.01, 0.2))
+    base = RenderConfig(max_pairs=50_000, tile_cull=True, pack_mode="none")
+    img0, aux0 = jax.jit(lambda *a: render_aux(*a, cam, cfg=base))(
+        *scene.render_args()
+    )
+    assert not bool(aux0.overflow)
+    n_valid = int(jnp.sum(jnp.asarray(aux0.num_rendered)))  # AABB count
+
+    trimmed = RenderConfig(max_pairs=50_000, tile_cull=True,
+                           pack_mode="none", max_pairs_sorted=n_valid)
+    img1, aux1 = jax.jit(lambda *a: render_aux(*a, cam, cfg=trimmed))(
+        *scene.render_args()
+    )
+    assert not bool(aux1.overflow)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1), atol=1e-6)
+
+    tiny = RenderConfig(max_pairs=50_000, tile_cull=True,
+                        pack_mode="none", max_pairs_sorted=256)
+    _, aux2 = jax.jit(lambda *a: render_aux(*a, cam, cfg=tiny))(
+        *scene.render_args()
+    )
+    assert bool(aux2.overflow)
+
+
 def test_overflow_flag():
     cam = look_at_camera((2.0, -2.0, 1.0), (0, 0, 0), (0, 0, 1),
                          width=64, height=64)
