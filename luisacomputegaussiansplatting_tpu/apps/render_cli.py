@@ -68,6 +68,9 @@ def build_parser():
     p.add_argument("--tile", type=int, default=16, choices=[16, 32],
                    help="rasterizer tile edge; 32 is faster for scenes of "
                         "small splats (minor border differences)")
+    p.add_argument("--tile-h", type=int, default=None,
+                   help="tile height (rectangular tiles, e.g. --tile 32 "
+                        "--tile-h 16; default square)")
     p.add_argument("--pack", choices=["chunk", "none"], default="chunk",
                    help="'none' skips range repacking (faster; identical "
                         "up to float reduction order)")
@@ -110,6 +113,7 @@ def main(argv=None):
         args.cam_pos, args.cam_target, world_up, fov=args.fov, width=w, height=h
     )
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
+                       tile_h=args.tile_h,
                        pack_mode=args.pack, rect_mode=args.rect,
                        use_focal=args.projection == "focal")
     print(f"num_gaussians: {scene.num_gaussians}")

@@ -52,6 +52,8 @@ def build_parser():
     p.add_argument("--iters", type=int, default=2000)
     p.add_argument("--max-pairs", type=int, default=1_000_000)
     p.add_argument("--tile", type=int, default=16, choices=[16, 32])
+    p.add_argument("--tile-h", type=int, default=None,
+                   help="tile height (rectangular tiles; default square)")
     p.add_argument("--pack", choices=["chunk", "none"], default="none",
                    help="rasterizer range layout; 'none' is faster and the "
                         "training default")
@@ -234,7 +236,7 @@ def main(argv=None):
     print(f"init: {n0} gaussians, capacity {args.capacity}")
 
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
-                       pack_mode=args.pack)
+                       tile_h=args.tile_h, pack_mode=args.pack)
     scfg = None
     pad_targets_fn = None
     if mesh is not None:

@@ -77,6 +77,14 @@ class RenderConfig:
     #: gaussian's 3-sigma rect rounds to different pixel sets).
     tile: int = 16
 
+    #: optional tile HEIGHT (None = square tile x tile). Rectangular
+    #: tiles (e.g. 32 x 16) trade more binning entries for fewer pixels
+    #: blended per entry: the VPU-bound rasterizer kernels scale with
+    #: entries x pixels-per-tile, the entry-side stages with entries —
+    #: at bicycle scale 32x16 beats both squares. tile * tile_h must be
+    #: a multiple of 8 (Mosaic sublane alignment of per-tile outputs).
+    tile_h: int | None = None
+
     #: tile-rect clamp convention. "lcgs" clamps the *exclusive* max tile
     #: index to grid-1 (reference lcgs/src/module.cpp:33-35, which never bins
     #: into the last tile row/column); "inria" clamps to grid like the
@@ -133,6 +141,11 @@ class RenderConfig:
     grad_reduce_dtype: str = "f32"
     #: force Pallas interpret mode (automatic on non-TPU backends).
     interpret: bool | None = None
+
+    @property
+    def tile_wh(self) -> tuple:
+        """(tile width, tile height) in pixels."""
+        return self.tile, self.tile_h if self.tile_h else self.tile
 
     def pairs_capacity(self, num_tiles: int) -> int:
         """Total padded entry capacity: every tile's range is padded to a

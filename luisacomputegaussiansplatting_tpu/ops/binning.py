@@ -76,7 +76,7 @@ def expand_entries(
     num_tiles: int,
     max_pairs: int,
     opacities=None,
-    tile: int = 16,
+    tile=16,
     alpha_min: float = 1.0 / 255.0,
 ):
     """Expand each gaussian's tile rect into one entry per touched tile.
@@ -103,6 +103,9 @@ def expand_entries(
     zeros shift chunk boundaries), and per-tile ranges shrink by the
     AABB-vs-ellipse overcount.
     """
+    from .projection import _tile_wh
+
+    tw, th = _tile_wh(tile)
     counts = proj.tiles_touched.astype(jnp.int32)  # (P,)
     ends = jnp.cumsum(counts)
     starts = ends - counts
@@ -148,10 +151,10 @@ def expand_entries(
         ca, cb, cc = f32(6), f32(7), f32(8)
         op = f32(9)
         # tile pixel-centre box (pixels sit at integer coordinates)
-        x0 = (tile_x * tile).astype(jnp.float32)
-        x1 = x0 + (tile - 1)
-        y0 = (tile_y * tile).astype(jnp.float32)
-        y1 = y0 + (tile - 1)
+        x0 = (tile_x * tw).astype(jnp.float32)
+        x1 = x0 + (tw - 1)
+        y0 = (tile_y * th).astype(jnp.float32)
+        y1 = y0 + (th - 1)
         inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
 
         def q(dx, dy):

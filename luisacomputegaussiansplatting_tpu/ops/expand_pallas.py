@@ -70,7 +70,8 @@ def _expand_kernel(
     num_tiles: int,
     nf: int,
     cull: bool,
-    tile: int,
+    tile_w: int,
+    tile_h: int,
     alpha_min: float,
 ):
     c = pl.program_id(0)
@@ -143,10 +144,10 @@ def _expand_kernel(
         mx, my = vals[8:9, :], vals[9:10, :]
         ca, cb, cc = vals[10:11, :], vals[11:12, :], vals[12:13, :]
         op = vals[13:14, :]
-        x0 = tile_x * tile
-        x1 = x0 + (tile - 1)
-        y0 = tile_y * tile
-        y1 = y0 + (tile - 1)
+        x0 = tile_x * tile_w
+        x1 = x0 + (tile_w - 1)
+        y0 = tile_y * tile_h
+        y1 = y0 + (tile_h - 1)
         inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
 
         def q(dx, dy):
@@ -191,7 +192,7 @@ def expand_entries_pallas(
     num_tiles: int,
     max_pairs: int,
     opacities=None,
-    tile: int = 16,
+    tile=16,
     alpha_min: float = 1.0 / 255.0,
     interpret: bool = False,
 ):
@@ -268,9 +269,12 @@ def expand_entries_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    from .projection import _tile_wh
+
+    tw, th = _tile_wh(tile)
     kernel = functools.partial(
         _expand_kernel, grid_x=grid_x, num_tiles=num_tiles, nf=nf,
-        cull=cull, tile=tile, alpha_min=alpha_min,
+        cull=cull, tile_w=tw, tile_h=th, alpha_min=alpha_min,
     )
     out = pl.pallas_call(
         kernel,

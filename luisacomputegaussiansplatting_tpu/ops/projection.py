@@ -46,23 +46,35 @@ class ProjectedGaussians(NamedTuple):
     valid: jnp.ndarray  # (N,) bool: survives near cull & touches tiles
 
 
-def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
+def _tile_wh(tile) -> tuple[int, int]:
+    """Normalize an int (square) or (w, h) tile spec."""
+    if isinstance(tile, tuple):
+        return tile
+    return tile, tile
+
+
+def tile_grid(
+    width: int, height: int, tile: "int | tuple" = TILE, tile_h: int | None = None
+) -> tuple[int, int]:
     """(grid_x, grid_y) tile counts for an image size."""
-    return (width + tile - 1) // tile, (height + tile - 1) // tile
+    tw, th = _tile_wh(tile)
+    th = tile_h or th
+    return (width + tw - 1) // tw, (height + th - 1) // th
 
 
-def _tile_rect(means2d, radius, grid_x: int, grid_y: int, mode: str, tile: int = TILE):
+def _tile_rect(means2d, radius, grid_x: int, grid_y: int, mode: str, tile=TILE):
     """Tile rectangle [min, max) covered by a splat disc.
 
     mode "lcgs" reproduces reference lcgs/src/module.cpp:29-35 (clamps the
     exclusive max to grid-1, so the last tile row/column never receives
     splats); mode "inria" clamps to grid like the graphdeco rasterizer.
     """
+    tw, th = _tile_wh(tile)
     r = radius.astype(jnp.float32)
-    lo_x = jnp.floor((means2d[..., 0] - r) / tile).astype(jnp.int32)
-    lo_y = jnp.floor((means2d[..., 1] - r) / tile).astype(jnp.int32)
-    hi_x = jnp.floor((means2d[..., 0] + r + tile - 1) / tile).astype(jnp.int32)
-    hi_y = jnp.floor((means2d[..., 1] + r + tile - 1) / tile).astype(jnp.int32)
+    lo_x = jnp.floor((means2d[..., 0] - r) / tw).astype(jnp.int32)
+    lo_y = jnp.floor((means2d[..., 1] - r) / th).astype(jnp.int32)
+    hi_x = jnp.floor((means2d[..., 0] + r + tw - 1) / tw).astype(jnp.int32)
+    hi_y = jnp.floor((means2d[..., 1] + r + th - 1) / th).astype(jnp.int32)
     if mode == "lcgs":
         max_lo, max_hi = grid_x - 1, grid_x - 1
         may_lo, may_hi = grid_y - 1, grid_y - 1
@@ -179,9 +191,9 @@ def project_gaussians(
     if active_mask is not None:
         radius = jnp.where(active_mask, radius, 0)
 
-    grid_x, grid_y = tile_grid(width, height, cfg.tile)
+    grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
     rect_min, rect_max = _tile_rect(
-        means2d, radius, grid_x, grid_y, cfg.rect_mode, cfg.tile
+        means2d, radius, grid_x, grid_y, cfg.rect_mode, cfg.tile_wh
     )
     tiles_touched = jnp.maximum(rect_max[..., 0] - rect_min[..., 0], 0) * jnp.maximum(
         rect_max[..., 1] - rect_min[..., 1], 0

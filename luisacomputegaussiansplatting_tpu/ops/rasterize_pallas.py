@@ -105,17 +105,25 @@ def _prefix_dot(x, ut):
     )
 
 
-def _pixel_coords(tile_idx, grid_x: int, width: int, height: int, tile: int):
-    """Global (x, y) pixel coordinates of a tile's tile^2 pixels as
-    (tile^2, 1), plus the initial transmittance (1 in-image, 0 for pixels
-    hanging past the image edge — the reference's `inside` predicate,
-    gs_tile_splatter/shader.cpp:195-196, which also feeds tile early-out)."""
-    pix = tile * tile
+def _tile_dims(cfg: RenderConfig):
+    """(tile_w, tile_h, pixels-per-tile)."""
+    tw, th = cfg.tile_wh
+    return tw, th, tw * th
+
+
+def _pixel_coords(tile_idx, grid_x: int, width: int, height: int,
+                  tile_w: int, tile_h: int):
+    """Global (x, y) pixel coordinates of a tile's pixels as
+    (tile_w*tile_h, 1), plus the initial transmittance (1 in-image, 0 for
+    pixels hanging past the image edge — the reference's `inside`
+    predicate, gs_tile_splatter/shader.cpp:195-196, which also feeds tile
+    early-out)."""
+    pix = tile_w * tile_h
     tile_y = tile_idx // grid_x
     tile_x = tile_idx - tile_y * grid_x
     p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
-    ix = tile_x * tile + p % tile
-    iy = tile_y * tile + p // tile
+    ix = tile_x * tile_w + p % tile_w
+    iy = tile_y * tile_h + p // tile_w
     inside = (ix < width) & (iy < height)
     t0 = inside.astype(jnp.float32)
     return ix.astype(jnp.float32), iy.astype(jnp.float32), t0
@@ -213,9 +221,9 @@ def _forward_kernel(
         end = start + count
         n_chunks = jnp.where(count > 0, (end - base + CHUNK - 1) // CHUNK, 0)
 
-    pix = cfg.tile * cfg.tile
+    tw, th, pix = _tile_dims(cfg)
     # tile-sharded strips: offset_ref[0] is this shard's first global tile
-    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, cfg.tile)
+    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, tw, th)
     ut = _upper_triangular()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -296,7 +304,8 @@ def rasterize_forward(
       (num_tiles, PIX, 8) float32: columns [r, g, b, T, 0, 0, 0, 0].
     """
     num_tiles = tile_starts.shape[0]
-    pix = cfg.tile * cfg.tile
+    _tw, _th, pix = _tile_dims(cfg)
+    assert pix % 8 == 0, "tile_w * tile_h must be a multiple of 8"
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -362,9 +371,9 @@ def _backward_kernel(
         base = (start // CHUNK) * CHUNK
         end = start + count
         n_chunks = jnp.where(count > 0, (end - base + CHUNK - 1) // CHUNK, 0)
-    pix = cfg.tile * cfg.tile
+    tw, th, pix = _tile_dims(cfg)
 
-    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, cfg.tile)
+    px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, tw, th)
     ut = _upper_triangular()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -387,11 +396,11 @@ def _backward_kernel(
     # uses TILE-LOCAL pixel coordinates: global coords make the moment
     # recombination cancel catastrophically in f32 (mx^2*S0 terms ~1e6
     # vs gradients ~1e0).
-    tx0 = (((offset_ref[0] + tile) % grid_x) * cfg.tile).astype(jnp.float32)
-    ty0 = (((offset_ref[0] + tile) // grid_x) * cfg.tile).astype(jnp.float32)
+    tx0 = (((offset_ref[0] + tile) % grid_x) * tw).astype(jnp.float32)
+    ty0 = (((offset_ref[0] + tile) // grid_x) * th).astype(jnp.float32)
     lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-    pxl_t = (lane_p % cfg.tile).astype(jnp.float32)  # (1, pix) tile-local x
-    pyl_t = (lane_p // cfg.tile).astype(jnp.float32)
+    pxl_t = (lane_p % tw).astype(jnp.float32)  # (1, pix) tile-local x
+    pyl_t = (lane_p // tw).astype(jnp.float32)
     zrow = jnp.zeros((1, pix), jnp.float32)
     basis_t = jnp.concatenate(
         [jnp.ones((1, pix), jnp.float32), pxl_t, pyl_t, pxl_t * pxl_t,
@@ -606,7 +615,7 @@ def rasterize_backward(
       entries with gid < 0 (binning guarantees they receive no gradient).
     """
     num_tiles = tile_starts.shape[0]
-    pix = cfg.tile * cfg.tile
+    _tw, _th, pix = _tile_dims(cfg)
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(

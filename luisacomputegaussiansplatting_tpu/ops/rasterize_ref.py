@@ -37,8 +37,8 @@ def rasterize_reference(
         layout.
       binned: binning result (entry_tile gives each entry's owning tile).
     """
-    ts = cfg.tile  # tile edge in pixels
-    pix = ts * ts
+    tw, th = cfg.tile_wh
+    pix = tw * th
     capacity = payload.shape[1]
     num_tiles = binned.tile_starts.shape[0]
     tile = jnp.clip(binned.entry_tile, 0, num_tiles - 1)
@@ -47,8 +47,8 @@ def rasterize_reference(
     tile_y = tile // grid_x
     tile_x = tile - tile_y * grid_x
     lane = jnp.arange(pix, dtype=jnp.int32)[None, :]
-    ix = tile_x[:, None] * ts + lane % ts
-    iy = tile_y[:, None] * ts + lane // ts
+    ix = tile_x[:, None] * tw + lane % tw
+    iy = tile_y[:, None] * th + lane // tw
     inside = (ix < width) & (iy < height)
     px = ix.astype(jnp.float32)
     py = iy.astype(jnp.float32)
@@ -92,8 +92,8 @@ def rasterize_reference(
     t_fin = t_fin.at[seg].min(t_candidates)
     # out-of-image pixels are dead from the start (T = 0)
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_ix = (tiles % grid_x)[:, None] * ts + lane % ts
-    t_iy = (tiles // grid_x)[:, None] * ts + lane // ts
+    t_ix = (tiles % grid_x)[:, None] * tw + lane % tw
+    t_iy = (tiles // grid_x)[:, None] * th + lane // tw
     t0 = ((t_ix < width) & (t_iy < height)).astype(jnp.float32)
     t_fin = t_fin * t0
     return color, t_fin[:, :, None]

@@ -117,13 +117,16 @@ def build_payload(
     return gather_payload(table, binned.entry_gid, table.shape[0], reduce_dtype)
 
 
-def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int, tile: int = TILE):
-    """(num_tiles, tile^2, C) -> (C, H, W) crop."""
+def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int, tile=TILE):
+    """(num_tiles, tile_w*tile_h, C) -> (C, H, W) crop."""
+    from .projection import _tile_wh
+
+    tw, th = _tile_wh(tile)
 
     def reshape(x):
         c = x.shape[2]
-        x = x.reshape(grid_y, grid_x, tile, tile, c)
-        x = x.transpose(4, 0, 2, 1, 3).reshape(c, grid_y * tile, grid_x * tile)
+        x = x.reshape(grid_y, grid_x, th, tw, c)
+        x = x.transpose(4, 0, 2, 1, 3).reshape(c, grid_y * th, grid_x * tw)
         return x[:, :height, :width]
 
     return reshape(color), reshape(trans)[0]
@@ -166,16 +169,16 @@ def render_view(
         active_mask=active_mask,
         means2d_probe=means2d_probe,
     )
-    grid_x, grid_y = tile_grid(width, height, cfg.tile)
+    grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
     cull_op = opacities if cfg.tile_cull else None
     if cfg.pack_mode == "chunk":
         binned = bin_gaussians(
-            proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
+            proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile_wh,
             cfg.alpha_min, cfg.expansion, cfg.max_pairs_sorted,
         )
     elif cfg.pack_mode == "none":
         binned = bin_gaussians_nopack(
-            proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile,
+            proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile_wh,
             cfg.alpha_min, cfg.expansion, cfg.max_pairs_sorted,
         )
     else:
@@ -202,7 +205,7 @@ def render_view(
         raise ValueError(f"unknown rasterizer: {cfg.rasterizer!r}")
 
     img_c, img_t = _tiles_to_image(
-        color, trans, grid_x, grid_y, width, height, cfg.tile
+        color, trans, grid_x, grid_y, width, height, cfg.tile_wh
     )
     bg = jnp.asarray(bg_color, jnp.float32)
     image = img_c + bg[:, None, None] * img_t[None, :, :]

@@ -97,7 +97,7 @@ def render_sharded(
         camera = camera.to_view()
     ndev = mesh.shape[axis]
     _validate_sharded_cfg(cfg, scfg)
-    grid_x, grid_y = tile_grid(width, height, cfg.tile)
+    grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
     rows_per_dev = -(-grid_y // ndev)
     tiles_per_dev = rows_per_dev * grid_x
 
@@ -186,7 +186,7 @@ def _render_shard(
     ops.projection.project_gaussians)."""
     dev = jax.lax.axis_index(axis)
     num_tiles_padded = tiles_per_dev * ndev
-    tile = cfg.tile
+    tile_w, tile_h = cfg.tile_wh
 
     # ---- local compute on this chip's gaussian shard -------------------
     colors = compute_colors(means3d, sh_coeffs, cam_view.position, sh_degree)
@@ -199,7 +199,7 @@ def _render_shard(
     l_loc = scfg.max_pairs_local
     cull_op = opacities if cfg.tile_cull else None
     tile_id, depth, gid, total = expand_entries_auto(
-        proj, grid_x, num_tiles_padded, l_loc, cull_op, tile,
+        proj, grid_x, num_tiles_padded, l_loc, cull_op, cfg.tile_wh,
         cfg.alpha_min, cfg.expansion,
     )
     overflow = total > l_loc
@@ -301,11 +301,11 @@ def _render_shard(
         cfg,
         tile_offset=(dev * tiles_per_dev).reshape(1),
     )
-    band_h = tiles_per_dev // grid_x * tile
-    c = color.reshape(tiles_per_dev // grid_x, grid_x, tile, tile, 3)
-    c = c.transpose(4, 0, 2, 1, 3).reshape(3, band_h, grid_x * tile)
-    t = trans.reshape(tiles_per_dev // grid_x, grid_x, tile, tile)
-    t = t.transpose(0, 2, 1, 3).reshape(band_h, grid_x * tile)
+    band_h = tiles_per_dev // grid_x * tile_h
+    c = color.reshape(tiles_per_dev // grid_x, grid_x, tile_h, tile_w, 3)
+    c = c.transpose(4, 0, 2, 1, 3).reshape(3, band_h, grid_x * tile_w)
+    t = trans.reshape(tiles_per_dev // grid_x, grid_x, tile_h, tile_w)
+    t = t.transpose(0, 2, 1, 3).reshape(band_h, grid_x * tile_w)
     band = c + bg[:, None, None] * t[None]
 
     total_all = jax.lax.psum(jnp.minimum(total, l_loc), axis)

@@ -116,11 +116,12 @@ def make_sharded_train_step(
 
     n_data = mesh.shape[data_axis]
     n_gs = mesh.shape[gs_axis]
-    grid_x, grid_y = tile_grid(width, height, cfg.tile)
+    tile_w, tile_h = cfg.tile_wh
+    grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
     rows_per_dev = -(-grid_y // n_gs)
     tiles_per_dev = rows_per_dev * grid_x
-    band_h = rows_per_dev * cfg.tile
-    w_pad = grid_x * cfg.tile
+    band_h = rows_per_dev * tile_h
+    w_pad = grid_x * tile_w
     opt = make_optimizer(tc)
     bg = jnp.asarray(bg_color, jnp.float32)
 

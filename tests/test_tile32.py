@@ -34,6 +34,48 @@ def test_tile32_matches_tile16():
     assert d.max() < 0.05, d.max()  # accumulated sub-cutoff tail contributions
 
 
+def test_rect_tile_32x16_matches_tile16():
+    """Rectangular 32x16 tiles (the v5e production config: fewer pixels
+    blended per entry at modest extra entries) render within the same
+    sub-cutoff tail tolerance, including with the ellipse cull +
+    post-sort trim on."""
+    scene = random_scene(2000, seed=5, extent=2.0, scale_range=(0.02, 0.08))
+    cfg16 = RenderConfig(max_pairs=80_000, tile=16)
+    cfgr = RenderConfig(max_pairs=80_000, tile=32, tile_h=16,
+                        pack_mode="none", tile_cull=True,
+                        max_pairs_sorted=60_000)
+    img16 = jax.jit(lambda *a: render(*a, CAM, cfg=cfg16))(*scene.render_args())
+    imgr = jax.jit(lambda *a: render(*a, CAM, cfg=cfgr))(*scene.render_args())
+    d = np.abs(np.asarray(img16) - np.asarray(imgr))
+    assert d.mean() < 2e-4, d.mean()
+    assert d.max() < 0.05, d.max()
+
+
+def test_rect_tile_gradients_close():
+    scene = random_scene(300, seed=6, extent=1.5, scale_range=(0.05, 0.15))
+    wimg = jnp.asarray(
+        np.random.default_rng(0).normal(size=(3, CAM.height, CAM.width)),
+        jnp.float32,
+    )
+
+    def loss(cfg):
+        return lambda *a: jnp.sum(render(*a, CAM, cfg=cfg) * wimg)
+
+    g16 = jax.grad(loss(RenderConfig(max_pairs=30_000, tile=16)), argnums=(0, 3))(
+        *scene.render_args()
+    )
+    gr = jax.grad(
+        loss(RenderConfig(max_pairs=30_000, tile=32, tile_h=16,
+                          pack_mode="none", tile_cull=True)),
+        argnums=(0, 3),
+    )(*scene.render_args())
+    for a, b in zip(g16, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
+
 def test_tile32_gradients_finite_and_close():
     scene = random_scene(300, seed=6, extent=1.5, scale_range=(0.05, 0.15))
     wimg = jnp.asarray(
