@@ -42,8 +42,12 @@ def main():
     # tile=32 is the production-fast configuration (pairs ~halve for
     # small-splat scenes; image differs from tile=16 only by sub-cutoff
     # tail contributions, mean |diff| ~2e-4 — tests/test_tile32.py).
+    # production-fast configuration: tile=32 no-pack with the in-kernel
+    # ellipse cull, post-sort capacity trim and bf16-packed gradient
+    # reduction (see BASELINE.md for the per-stage numbers)
     cfg = RenderConfig(max_pairs=4_500_000, tile=32, pack_mode="none",
-                       tile_cull=True)
+                       tile_cull=True, max_pairs_sorted=3_900_000,
+                       grad_reduce_dtype="bf16")
 
     cam = look_at_camera(
         (3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),

@@ -10,12 +10,18 @@ CONTIGUOUS row range of the per-gaussian table, which can be streamed
 HBM->VMEM sequentially and "gathered" with a one-hot interval-membership
 matmul on the MXU:
 
-    sel[s, r]  = (start_r <= s) & (s < end_r)        # disjoint intervals
-    vals[:, s] = table_window @ sel^T                 # (F, W) @ (W, S)
+    sel[s, r]  = (start_r <= slot_s) & (slot_s < end_r)   # disjoint
+    vals[:, s] = table_window @ sel^T                     # (F, W) @ (W, S)
 
 The one-hot gather is BIT-EXACT for f32 values under Precision.HIGHEST:
 a value splits into three bf16 terms of strictly decreasing magnitude
 whose selected products re-sum exactly in f32.
+
+Slot offsets ride as (hi = offset >> 12, lo = offset & 4095) f32 pairs
+and every comparison happens on CHUNK-RELATIVE values (offset - c*S),
+which are exact in f32 wherever the compare outcome is in doubt — so
+capacities up to 2^31 pairs work (gaussian COUNT must stay < 2^24 for
+the row-id field; see `fits_f32`).
 
 With ``opacities`` given, the kernel also applies the exact ellipse-tile
 cull from binning.expand_entries in-flight: an entry whose tile cannot
@@ -31,10 +37,8 @@ lcgs/src/gs_tile_splatter/shader.cpp:26-69 (shad_copy_with_keys), whose
 dynamic-offset scatter has no cheap TPU equivalent (SURVEY.md section 7
 "hard parts" (a)).
 
-All table fields ride as f32 (integers < 2^24 are exact in f32; callers
-must fall back to the XLA path when max_pairs or P exceed 2^24 — see
-`fits_f32`). Emission order within a gaussian is y-outer/x-inner,
-matching the reference scatter loop and the XLA path exactly.
+Emission order within a gaussian is y-outer/x-inner, matching the
+reference scatter loop and the XLA path exactly.
 """
 
 from __future__ import annotations
@@ -51,11 +55,13 @@ S = 512
 W = 512
 
 _F32_EXACT = 1 << 24
+_SPLIT = 4096  # offset = hi * _SPLIT + lo, both f32-exact
 
 
 def fits_f32(max_pairs: int, num_gaussians: int) -> bool:
-    """Slot offsets and row ids must stay exact in f32."""
-    return max_pairs < _F32_EXACT and num_gaussians < _F32_EXACT
+    """Row ids and rect coords must stay exact in f32 (offsets are
+    hi/lo-split, so max_pairs only needs to fit an int32)."""
+    return num_gaussians < _F32_EXACT and max_pairs < 2**31 // 2
 
 
 def _expand_kernel(
@@ -77,10 +83,13 @@ def _expand_kernel(
     c = pl.program_id(0)
     lo = row_lo_ref[c]
     n_sub = n_sub_ref[c]
-    slot = (
-        jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(jnp.float32)
-        + c * S
-    )  # (S, 1) global slot index, exact in f32
+    # chunk base split (exact int32 scalars -> exact small f32 parts)
+    cbase = c * S
+    cs_hi = (cbase // _SPLIT).astype(jnp.float32)
+    cs_lo = (cbase % _SPLIT).astype(jnp.float32)
+    i_slot = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(
+        jnp.float32
+    )  # (S, 1) chunk-relative slot index in [0, S)
 
     def dma(sw):
         slot_b = jax.lax.rem(sw, 2)
@@ -93,6 +102,12 @@ def _expand_kernel(
     def _():
         dma(0).start()
 
+    def rel(hi, lo_):
+        # chunk-relative offset: exact in f32 wherever the interval
+        # compare is in doubt (|rel| < ~num_tiles there); far-away rows
+        # may round but keep their sign side
+        return (hi - cs_hi) * float(_SPLIT) + (lo_ - cs_lo)
+
     def body(sw, vals):
         @pl.when(sw + 1 < n_sub)
         def _():
@@ -100,11 +115,13 @@ def _expand_kernel(
 
         dma(sw).wait()
         cur = buf[jax.lax.rem(sw, 2)]  # (nf, W)
-        starts = cur[0:1, :]  # (1, W)
-        ends = cur[1:2, :]
+        rel_start = rel(cur[0:1, :], cur[1:2, :])  # (1, W)
+        rel_end = rel(cur[2:3, :], cur[3:4, :])
         # interval membership: each slot claimed by at most one row
         # (intervals are disjoint; zero-extent rows claim nothing)
-        sel = jnp.logical_and(starts <= slot, slot < ends).astype(jnp.float32)
+        sel = jnp.logical_and(rel_start <= i_slot, i_slot < rel_end).astype(
+            jnp.float32
+        )
         # (nf, W) @ (W, S) contraction on the MXU = the row "gather"
         vals = vals + jax.lax.dot_general(
             cur,
@@ -119,21 +136,25 @@ def _expand_kernel(
         0, n_sub, body, jnp.zeros((nf, S), jnp.float32), unroll=False
     )
 
-    start = vals[0:1, :]  # (1, S)
-    min_x = vals[2:3, :]
-    min_y = vals[3:4, :]
-    rect_w = vals[4:5, :]
-    depth = vals[5:6, :]
-    matched = vals[6:7, :] > 0.5  # the constant-one field
+    i_t = i_slot.reshape(1, S)
+    rel_start_s = rel(vals[0:1, :], vals[1:2, :])  # (1, S)
+    rel_end_s = rel(vals[2:3, :], vals[3:4, :])
+    # unmatched slots gathered all-zero rows: rel_end = -cbase <= i fails
+    # the test for every chunk (i >= 0), so end doubles as the match flag
+    matched = i_t < rel_end_s
+    minxy = vals[4:5, :]
+    rect_w = vals[5:6, :]
+    depth = vals[6:7, :]
     rowid = vals[7:8, :]
 
-    slot_t = slot.reshape(1, S)
-    local = slot_t - start
+    local = i_t - rel_start_s
     safe_w = jnp.maximum(rect_w, 1.0)
     # float int division is exact-floor here: operands are exact ints and
-    # the quotient is < 2^11 with remainder/divisor bounded away from 1
+    # the quotient is < 2^13 with remainder/divisor bounded away from 1
     ty = jnp.floor(local / safe_w)
     tx = local - ty * safe_w
+    min_y = jnp.floor(minxy / float(_SPLIT))
+    min_x = minxy - min_y * float(_SPLIT)
     tile_x = min_x + tx
     tile_y = min_y + ty
     tile_id = tile_x + tile_y * grid_x
@@ -202,12 +223,15 @@ def expand_entries_pallas(
     Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
     slots have tile_id == num_tiles, depth == +inf, gid == -1.
     """
+    from .projection import _tile_wh
+
     # expansion is structural (sort keys + indices): no gradients flow
     # through it, and pallas_call has no JVP rule — cut the tangent path
     proj = jax.tree.map(jax.lax.stop_gradient, proj)
     cull = opacities is not None
     if cull:
         opacities = jax.lax.stop_gradient(opacities.reshape(-1))
+    tw, th = _tile_wh(tile)
     counts = proj.tiles_touched.astype(jnp.int32)
     p = counts.shape[0]
     ends = jnp.cumsum(counts)
@@ -217,18 +241,25 @@ def expand_entries_pallas(
     n_chunks = -(-max_pairs // S)
     l_pad = n_chunks * S
 
+    def split(x):
+        return x // _SPLIT, x % _SPLIT
+
+    ends_c = jnp.minimum(ends, max_pairs)
+    s_hi, s_lo = split(starts)
+    e_hi, e_lo = split(ends_c)
     # field-major f32 table; zero rows (start == end == 0) claim nothing
-    zeros = jnp.zeros((p,), jnp.float32)
     fields = [
-        starts.astype(jnp.float32),
-        jnp.minimum(ends, max_pairs).astype(jnp.float32),
-        proj.rect_min[:, 0].astype(jnp.float32),
-        proj.rect_min[:, 1].astype(jnp.float32),
+        s_hi.astype(jnp.float32),
+        s_lo.astype(jnp.float32),
+        e_hi.astype(jnp.float32),
+        e_lo.astype(jnp.float32),
+        (
+            proj.rect_min[:, 0] + proj.rect_min[:, 1] * _SPLIT
+        ).astype(jnp.float32),
         jnp.maximum(
             proj.rect_max[:, 0] - proj.rect_min[:, 0], 1
         ).astype(jnp.float32),
         proj.depth.astype(jnp.float32),
-        zeros + 1.0,  # matched flag
         jnp.arange(p, dtype=jnp.float32),  # row id -> gid
     ]
     if cull:
@@ -239,8 +270,8 @@ def expand_entries_pallas(
             proj.conic[:, 1],
             proj.conic[:, 2],
             opacities,
-            zeros,
-            zeros,
+            jnp.zeros((p,), jnp.float32),
+            jnp.zeros((p,), jnp.float32),
         ]
     nf = len(fields)
     table = jnp.stack(fields, axis=0)  # (nf, P)
@@ -269,9 +300,6 @@ def expand_entries_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    from .projection import _tile_wh
-
-    tw, th = _tile_wh(tile)
     kernel = functools.partial(
         _expand_kernel, grid_x=grid_x, num_tiles=num_tiles, nf=nf,
         cull=cull, tile_w=tw, tile_h=th, alpha_min=alpha_min,
