@@ -9,6 +9,7 @@ the jitted step (raw params are the optimised pytree).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -83,6 +84,14 @@ def make_optimizer(tc: TrainConfig = TrainConfig()) -> optax.GradientTransformat
     )
 
 
+def _donate():
+    """Donate the TrainState buffers on TPU (params + Adam moments are
+    ~4x the parameter bytes at bicycle scale; donation halves training
+    peak memory). CPU backends don't implement donation and would warn
+    on every step, so tests keep copies."""
+    return (0,) if jax.default_backend() == "tpu" else ()
+
+
 class TrainState(NamedTuple):
     params: GaussianParams
     opt_state: optax.OptState
@@ -134,7 +143,7 @@ def make_train_step(
     """Jitted single-view training step:
     (state, cam_view, target) -> (state, loss, aux)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def step(state: TrainState, cam_view: CameraView, target):
         (loss, (_img, aux)), grads = jax.value_and_grad(
             photometric_loss, has_aux=True
@@ -180,7 +189,7 @@ def make_densify_train_step(
     (state, dstate, loss, aux)."""
     from .densify import DensifyState, accumulate_stats
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def step(state: TrainState, dstate: DensifyState, cam_view: CameraView, target):
         probe = jnp.zeros((state.params.means.shape[0], 2), jnp.float32)
 
@@ -241,7 +250,7 @@ def make_batched_train_step(
     """
     from .densify import DensifyState
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def step(state: TrainState, dstate, views: CameraView, targets):
         n = state.params.means.shape[0]
         probe = jnp.zeros((n, 2), jnp.float32)
