@@ -154,6 +154,11 @@ def _validate_sharded_cfg(cfg: RenderConfig, scfg: ShardedRenderConfig):
         )
     if cfg.rasterizer != "pallas":
         raise ValueError("the sharded path supports rasterizer='pallas' only")
+    if cfg.max_pairs_sorted is not None:
+        raise ValueError(
+            "max_pairs_sorted is a single-chip option; sharded capacities "
+            "are set via ShardedRenderConfig"
+        )
 
 
 def _render_shard(
