@@ -1,33 +1,71 @@
 """Benchmark harness: the BASELINE.json north-star metric.
 
-Measures pixels/s/chip for forward+backward at 1080p on a ~bicycle-scale
-synthetic scene (the reference's released .ply scenes are not available in
-this environment; the synthetic scene is tuned to a comparable workload:
-millions of gaussians, tens of millions of sorted (tile, depth) pairs).
+Measures pixels/s/chip for forward+backward at 1080p on synthetic scenes
+(the reference's released .ply scenes are not available in this
+environment; scenes are tuned to comparable workloads). Two scales run:
+
+  * headline: 2M gaussians / ~7.8M AABB pairs — the config every round
+    has tracked (vs_baseline is like-for-like against round 1).
+  * north_star: 6M gaussians / ~12.6M AABB pairs — the BASELINE.json
+    metric's mip360_bicycle scale.
+
+Timing method (honest on the axon tunnel): each repetition's traced bg
+input depends on the previous repetition's loss value, so repeats can
+never be served from any dispatch/result cache (repeat-identical calls
+measured 10-20% flattering, BASELINE.md round-2 note; reference FPS
+contract: app/main.cpp:317-320).
 
 Prints ONE json line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "timing": "chained-dependent", "north_star": {...}}
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
 measured against our own round-1 figure recorded below — i.e. round 1
-defines 1.0 and later rounds must beat it.
+defines 1.0 and later rounds must beat it. Each scale runs in its own
+subprocess under a timeout: a wedged tunnel compile degrades the output
+instead of hanging the driver.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-# Round-1 recorded figure (pixels/s/chip, fwd+bwd, this exact config),
-# measured 2026-08-16 on TPU v5e (1 chip). Updated only if the benchmark
-# config changes; see BASELINE.md.
+# Round-1 recorded figure (pixels/s/chip, fwd+bwd, the 2M headline
+# config), measured 2026-08-16 on TPU v5e (1 chip). Never redefined;
+# later rounds must beat it. See BASELINE.md.
 ROUND1_BASELINE = 1_913_465.0
 
+WIDTH, HEIGHT = 1920, 1080
 
-def main():
+# (n_gaussians, cfg kwargs, timed reps)
+CONFIGS = {
+    # production-fast configuration: tile=32 no-pack with the in-kernel
+    # ellipse cull, post-sort capacity trim and bf16-packed gradient
+    # reduction (see BASELINE.md for the per-stage numbers)
+    "headline": (
+        2_000_000,
+        dict(max_pairs=4_500_000, tile=32, pack_mode="none",
+             tile_cull=True, max_pairs_sorted=3_900_000,
+             grad_reduce_dtype="bf16"),
+        10,
+    ),
+    # the BASELINE.json north-star scale (~bicycle: 6M gaussians)
+    "north_star": (
+        6_000_000,
+        dict(max_pairs=13_000_000, tile=32, pack_mode="none",
+             tile_cull=True, max_pairs_sorted=10_600_000,
+             grad_reduce_dtype="bf16"),
+        5,
+    ),
+}
+
+
+def run_child(name: str) -> None:
+    """Measure one config on the real chip; print {"px_s": ...}."""
     import jax
 
     # persistent compile cache: axon-tunnel compiles of the full frame
@@ -39,35 +77,28 @@ def main():
         pass
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from luisacomputegaussiansplatting_tpu.config import RenderConfig
     from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
     from luisacomputegaussiansplatting_tpu.ops.render import render_aux
     from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
 
-    width, height = 1920, 1080
-    n_gaussians = 2_000_000
-    # tile=32 is the production-fast configuration (pairs ~halve for
-    # small-splat scenes; image differs from tile=16 only by sub-cutoff
-    # tail contributions, mean |diff| ~2e-4 — tests/test_tile32.py).
-    # production-fast configuration: tile=32 no-pack with the in-kernel
-    # ellipse cull, post-sort capacity trim and bf16-packed gradient
-    # reduction (see BASELINE.md for the per-stage numbers)
-    cfg = RenderConfig(max_pairs=4_500_000, tile=32, pack_mode="none",
-                       tile_cull=True, max_pairs_sorted=3_900_000,
-                       grad_reduce_dtype="bf16")
+    n_gaussians, cfg_kwargs, reps = CONFIGS[name]
+    cfg = RenderConfig(**cfg_kwargs)
 
     cam = look_at_camera(
         (3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
-        fov=65.0, width=width, height=height,
+        fov=65.0, width=WIDTH, height=HEIGHT,
     )
     scene = random_scene(
         n_gaussians, seed=0, extent=3.0, scale_range=(0.004, 0.02)
     )
     args = scene.render_args()
 
-    def loss(*a):
-        img, aux = render_aux(*a, cam, cfg=cfg)
+    def loss(means, scales, quats, opac, sh, bg):
+        img, aux = render_aux(
+            means, scales, quats, opac, sh, cam, bg_color=bg, cfg=cfg
+        )
         return jnp.sum(img), aux.overflow
 
     # one compile: the overflow flag rides value_and_grad's aux output
@@ -76,35 +107,61 @@ def main():
         jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
     )
 
-    # compile + warmup
-    print("bench: compiling fwd+bwd...", file=sys.stderr, flush=True)
+    bg0 = jnp.zeros((3,), jnp.float32)
+    print(f"bench[{name}]: compiling fwd+bwd...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    (_, overflow), _g = step(*args)
+    (val, overflow), _g = step(*args, bg0)
     jax.block_until_ready(_g)
-    print(f"bench: compiled in {time.perf_counter() - t0:.0f}s",
+    print(f"bench[{name}]: compiled in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr, flush=True)
     assert not bool(overflow), "bench capacity overflow: raise max_pairs"
 
-    reps = 10
+    # honest timing: rep i's bg depends on rep i-1's loss value, so no
+    # repetition can be cached/deduplicated by the dispatch stack
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = step(*args)
-    jax.block_until_ready(out)
+        bg = bg0 + val * 1e-20
+        (val, _overflow), g = step(*args, bg)
+    jax.block_until_ready((val, g))
     dt = (time.perf_counter() - t0) / reps
 
-    pixels_per_s = width * height / dt
-    vs = pixels_per_s / ROUND1_BASELINE if ROUND1_BASELINE else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "pixels_per_s_per_chip_fwd_bwd_1080p",
-                "value": round(pixels_per_s, 1),
-                "unit": "pixels/s/chip",
-                "vs_baseline": round(vs, 4),
-            }
-        )
-    )
+    print(json.dumps({"px_s": WIDTH * HEIGHT / dt, "ms": dt * 1e3}))
+
+
+def main():
+    me = os.path.abspath(__file__)
+    results = {}
+    for name in ("headline", "north_star"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", me, "--child", name],
+                capture_output=True, text=True, timeout=560,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[name] = json.loads(line)
+        except Exception as e:  # timeout, crash, bad output
+            print(f"bench[{name}] failed: {e!r}", file=sys.stderr, flush=True)
+            results[name] = None
+
+    head = results.get("headline")
+    ns = results.get("north_star")
+    out = {
+        "metric": "pixels_per_s_per_chip_fwd_bwd_1080p",
+        "value": round(head["px_s"], 1) if head else None,
+        "unit": "pixels/s/chip",
+        "vs_baseline": round(head["px_s"] / ROUND1_BASELINE, 4) if head else None,
+        "timing": "chained-dependent",
+        "north_star": {
+            "scene": "6M gaussians (bicycle scale)",
+            "pixels_per_s_per_chip": round(ns["px_s"], 1) if ns else None,
+            "fwd_bwd_ms": round(ns["ms"], 1) if ns else None,
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        run_child(sys.argv[2])
+    else:
+        main()

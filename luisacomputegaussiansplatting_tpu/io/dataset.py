@@ -373,12 +373,18 @@ def load_colmap(
         front = r_w2c.T @ np.array([0.0, 0.0, 1.0])  # +z forward
         up = r_w2c.T @ np.array([0.0, -1.0, 0.0])  # COLMAP y is down
         right = np.cross(front, up)
-        fov_y = math.degrees(2.0 * math.atan(0.5 * h / fy))
         img_path = os.path.join(root, images_dir, name)
-        im = np.asarray(Image.open(img_path).convert("RGB"), np.float32) / 255.0
+        pil = Image.open(img_path).convert("RGB")
         if downscale > 1:
-            im = im[::downscale, ::downscale]
+            # filtered resize (graphdeco recipe), not strided subsampling
+            # (aliases); rescale fy by the ACTUAL height ratio so the fov
+            # matches the downscaled image even when h % downscale != 0
+            nw, nh = pil.width // downscale, pil.height // downscale
+            fy = fy * (nh / pil.height)
+            pil = pil.resize((nw, nh), Image.LANCZOS)
+        im = np.asarray(pil, np.float32) / 255.0
         h, w = im.shape[0], im.shape[1]
+        fov_y = math.degrees(2.0 * math.atan(0.5 * h / fy))
         cameras.append(
             Camera(
                 position=tuple(pos),

@@ -293,6 +293,7 @@ def bin_gaussians_nopack(
     alpha_min: float = 1.0 / 255.0,
     expansion: str = "auto",
     max_sorted: int | None = None,
+    interpret=None,
 ) -> NoPackBinned:
     """Expand and sort splat entries; ranges stay unpadded (no-pack mode).
 
@@ -306,14 +307,17 @@ def bin_gaussians_nopack(
     num_tiles = grid_x * grid_y
     tile_id, depth, gid, total = expand_entries_auto(
         proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min,
-        expansion,
+        expansion, interpret,
     )
     overflow = total > max_pairs
 
     sorted_tile, _d, sorted_gid = jax.lax.sort(
         (tile_id, depth, gid), num_keys=2, is_stable=True
     )
-    if max_sorted is not None and max_sorted < max_pairs:
+    # chunk-rounding can push cap to/past max_pairs (max_pairs need not be
+    # CHUNK-aligned); then the trim is a no-op and sorted_gid[cap] would
+    # clamp to the last element and raise a spurious overflow — skip it.
+    if max_sorted is not None and _round_up_chunk(max_sorted) < max_pairs:
         cap = _round_up_chunk(max_sorted)
         overflow |= sorted_gid[cap] >= 0  # a valid entry got cut off
         sorted_tile = sorted_tile[:cap]
@@ -350,6 +354,7 @@ def bin_gaussians(
     alpha_min: float = 1.0 / 255.0,
     expansion: str = "auto",
     max_sorted: int | None = None,
+    interpret=None,
 ) -> BinnedGaussians:
     """Expand, sort and tile-pack splat entries (single-shard path).
 
@@ -359,7 +364,7 @@ def bin_gaussians(
     num_tiles = grid_x * grid_y
     tile_id, depth, gid, total = expand_entries_auto(
         proj, grid_x, num_tiles, max_pairs, opacities, tile, alpha_min,
-        expansion,
+        expansion, interpret,
     )
     overflow = total > max_pairs
 
@@ -370,7 +375,8 @@ def bin_gaussians(
         (tile_id, depth, gid), num_keys=2, is_stable=True
     )
     eff_pairs = max_pairs
-    if max_sorted is not None and max_sorted < max_pairs:
+    # see bin_gaussians_nopack: skip the trim when rounding reaches max_pairs
+    if max_sorted is not None and _round_up_chunk(max_sorted) < max_pairs:
         eff_pairs = _round_up_chunk(max_sorted)
         overflow |= sorted_gid[eff_pairs] >= 0
         sorted_tile = sorted_tile[:eff_pairs]

@@ -205,7 +205,7 @@ def _render_shard(
     cull_op = opacities if cfg.tile_cull else None
     tile_id, depth, gid, total = expand_entries_auto(
         proj, grid_x, num_tiles_padded, l_loc, cull_op, cfg.tile_wh,
-        cfg.alpha_min, cfg.expansion,
+        cfg.alpha_min, cfg.expansion, cfg.interpret,
     )
     overflow = total > l_loc
 

@@ -82,11 +82,56 @@ def quaternion_multiply(q1, q2):
     )
 
 
+def rotate_axis_angle(aa, p, eps=1e-12):
+    """Rodrigues rotation of points by an axis-angle vector.
+
+    ``aa`` is the compact encoding: rotation axis = aa / |aa|, angle =
+    |aa| radians (parity: reference transform.hpp:100-124 ``rotate_aa``).
+    Zero vectors rotate by identity (the reference's normalize would NaN).
+
+    Args:
+      aa: (..., 3) axis-angle vectors. p: (..., 3) points.
+    """
+    aa = jnp.asarray(aa, jnp.float32)
+    p = jnp.asarray(p, jnp.float32)
+    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    axis = aa / jnp.maximum(angle, eps)
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    return (
+        p * c
+        + jnp.cross(axis, p) * s
+        + axis * jnp.sum(axis * p, axis=-1, keepdims=True) * (1.0 - c)
+    )
+
+
+def rotation_from_axis_angle(aa, eps=1e-12):
+    """(..., 3, 3) row-major rotation matrices (R @ v) from axis-angle
+    vectors with angle = |aa| (parity: reference transform.hpp:126-160
+    ``R_from_aa``, which stores the same matrix column-major)."""
+    aa = jnp.asarray(aa, jnp.float32)
+    angle = jnp.linalg.norm(aa, axis=-1)
+    axis = aa / jnp.maximum(angle[..., None], eps)
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    c1 = 1.0 - c
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    return jnp.stack(
+        [
+            jnp.stack([c1 * x * x + c, c1 * x * y - z * s, c1 * x * z + y * s], axis=-1),
+            jnp.stack([c1 * x * y + z * s, c1 * y * y + c, c1 * y * z - x * s], axis=-1),
+            jnp.stack([c1 * x * z - y * s, c1 * y * z + x * s, c1 * z * z + c], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def quaternion_from_axis_angle(axis, angle):
     """(x, y, z, w) quaternion from a unit axis and an angle in radians
     (parity: reference transform.hpp:85-97)."""
     axis = jnp.asarray(axis)
-    s = jnp.sin(angle * 0.5)
+    angle = jnp.asarray(angle)
+    s = jnp.sin(angle * 0.5)[..., None]
     return jnp.concatenate(
         [axis * s, jnp.cos(angle * 0.5)[..., None]], axis=-1
     )

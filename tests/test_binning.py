@@ -216,6 +216,32 @@ def test_max_pairs_sorted_trim():
     assert bool(aux2.overflow)
 
 
+def test_trim_rounding_no_spurious_overflow():
+    """CHUNK-rounding the trim capacity to/past max_pairs must not read
+    past the stream and flag a spurious overflow (a clamped OOB index
+    would re-read the last valid entry)."""
+    from luisacomputegaussiansplatting_tpu.ops.binning import (
+        bin_gaussians_nopack,
+    )
+
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(200, seed=17, scale_range=(0.01, 0.2))
+    cfg = RenderConfig(max_pairs=50_000)
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam, cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    total = int(bin_gaussians_nopack(proj, gx, gy, 50_000).num_rendered)
+    assert 130 < total < 50_000 and total % 128 != 0
+
+    # every slot valid, trim capacity rounds up to >= max_pairs: no trim,
+    # no overflow
+    b = bin_gaussians_nopack(proj, gx, gy, total, max_sorted=total - 1)
+    assert not bool(b.overflow)
+    # a genuinely-truncating trim still flags
+    b = bin_gaussians_nopack(proj, gx, gy, total, max_sorted=total - 130)
+    assert bool(b.overflow)
+
+
 def test_overflow_flag():
     cam = look_at_camera((2.0, -2.0, 1.0), (0, 0, 0), (0, 0, 1),
                          width=64, height=64)

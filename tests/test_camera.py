@@ -99,3 +99,41 @@ def test_focal_and_fov():
     np.testing.assert_allclose(cam.tan_fovx, 2.0, atol=1e-6)
     np.testing.assert_allclose(cam.focal_x, 50.0, atol=1e-4)
     np.testing.assert_allclose(cam.focal_y, 50.0, atol=1e-4)
+
+
+def test_rodrigues_axis_angle():
+    """rotate_axis_angle / rotation_from_axis_angle (reference
+    transform.hpp:100-160) agree with the quaternion path and each other."""
+    from luisacomputegaussiansplatting_tpu.utils.transform import (
+        quaternion_from_axis_angle,
+        rotate_axis_angle,
+        rotation_from_axis_angle,
+        rotation_from_quaternion,
+    )
+
+    rng = np.random.default_rng(5)
+    axis = rng.normal(size=(8, 3))
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    angle = rng.uniform(-3.0, 3.0, size=(8,))
+    aa = axis * angle[:, None]
+    p = rng.normal(size=(8, 3)).astype(np.float32)
+
+    r_aa = np.asarray(rotation_from_axis_angle(aa))
+    q = np.asarray(quaternion_from_axis_angle(axis, angle))
+    r_q = np.asarray(rotation_from_quaternion(q))
+    np.testing.assert_allclose(r_aa, r_q, atol=1e-5)
+
+    rotated = np.asarray(rotate_axis_angle(aa, p))
+    np.testing.assert_allclose(
+        rotated, np.einsum("nij,nj->ni", r_aa, p), atol=1e-5
+    )
+    # rotations preserve norms; zero axis-angle is the identity
+    np.testing.assert_allclose(
+        np.linalg.norm(rotated, axis=-1), np.linalg.norm(p, axis=-1), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rotate_axis_angle(np.zeros((3,)), p)), p, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rotation_from_axis_angle(np.zeros((3,)))), np.eye(3), atol=1e-6
+    )
