@@ -44,13 +44,14 @@ WIDTH, HEIGHT = 1920, 1080
 # (n_gaussians, cfg kwargs, timed reps)
 CONFIGS = {
     # production-fast configuration: tile=32 no-pack with the in-kernel
-    # ellipse cull, post-sort capacity trim and bf16-packed gradient
-    # reduction (see BASELINE.md for the per-stage numbers)
+    # ellipse cull, post-sort capacity trim, bf16-packed gradient
+    # reduction and bf16-packed payload gather (see BASELINE.md for the
+    # per-stage numbers)
     "headline": (
         2_000_000,
         dict(max_pairs=4_500_000, tile=32, pack_mode="none",
              tile_cull=True, max_pairs_sorted=3_900_000,
-             grad_reduce_dtype="bf16"),
+             grad_reduce_dtype="bf16", payload_dtype="bf16"),
         10,
     ),
     # the BASELINE.json north-star scale (~bicycle: 6M gaussians)
@@ -58,7 +59,7 @@ CONFIGS = {
         6_000_000,
         dict(max_pairs=13_000_000, tile=32, pack_mode="none",
              tile_cull=True, max_pairs_sorted=10_600_000,
-             grad_reduce_dtype="bf16"),
+             grad_reduce_dtype="bf16", payload_dtype="bf16"),
         5,
     ),
 }

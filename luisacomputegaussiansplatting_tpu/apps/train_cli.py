@@ -57,6 +57,8 @@ def build_parser():
     p.add_argument("--pack", choices=["chunk", "none"], default="none",
                    help="rasterizer range layout; 'none' is faster and the "
                         "training default")
+    p.add_argument("--payload", choices=["f32", "bf16"], default="f32",
+                   help="payload-gather precision (see render_cli --payload)")
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--sh-upgrade-every", type=int, default=1000,
                    help="raise the active SH degree by one every N iters "
@@ -236,7 +238,8 @@ def main(argv=None):
     print(f"init: {n0} gaussians, capacity {args.capacity}")
 
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
-                       tile_h=args.tile_h, pack_mode=args.pack)
+                       tile_h=args.tile_h, pack_mode=args.pack,
+                       payload_dtype=args.payload)
     scfg = None
     pad_targets_fn = None
     if mesh is not None:

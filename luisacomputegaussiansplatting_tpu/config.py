@@ -139,6 +139,16 @@ class RenderConfig:
     #: sort; ~2^-9 relative per-entry rounding, far below SGD gradient
     #: noise; per-gaussian sums stay f32).
     grad_reduce_dtype: str = "f32"
+    #: per-entry payload precision through the capacity-axis row gather:
+    #: "f32" (exact, 9 f32 columns) or "bf16" (opacity+rgb ride the
+    #: gather as bf16 pairs, shrinking the row to 7 int32 columns —
+    #: measured ~2x cheaper on v5e, where <=8-column rows gather at
+    #: ~7 ns/row vs ~15 ns for 9 columns; mean/conic stay f32). The
+    #: ~2^-9 relative rounding on opacity/colour is below the 1/255
+    #: output quantisation; gradients are computed at the rounded
+    #: values and reduced in f32 (or grad_reduce_dtype).
+    payload_dtype: str = "f32"
+
     #: force Pallas interpret mode (automatic on non-TPU backends).
     interpret: bool | None = None
 

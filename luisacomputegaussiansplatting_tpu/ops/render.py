@@ -54,13 +54,53 @@ def payload_table(proj: ProjectedGaussians, colors, opacities):
     return cols
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def gather_payload(table, entry_gid, n_rows: int, reduce_dtype: str = "f32"):
+def _pack_table7(table):
+    """(N, 9) f32 -> (N, 7) int32: mean/conic keep their f32 bits;
+    (opacity, r) and (g, b) pack as bf16 pairs. Rows of <= 8 columns
+    gather ~2x cheaper on v5e than 9-column rows (BASELINE.md round 3)."""
+
+    def fbits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def h16(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.int32)
+
+    cols = [fbits(table[:, i]) for i in range(5)]
+    cols.append((h16(table[:, 5]) << 16) | h16(table[:, 6]))
+    cols.append((h16(table[:, 7]) << 16) | h16(table[:, 8]))
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_rows7(rows_t):
+    """(7, capacity) int32 -> FIELDS f32 rows (inverse of _pack_table7)."""
+
+    def f32bits(r):
+        return jax.lax.bitcast_convert_type(r, jnp.float32)
+
+    def bf16(u16):
+        return jax.lax.bitcast_convert_type(
+            u16.astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+
+    out = [f32bits(rows_t[i]) for i in range(5)]
+    for i in (5, 6):
+        out.append(bf16(rows_t[i] >> 16))
+        out.append(bf16(rows_t[i] & 0xFFFF))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_payload(table, entry_gid, n_rows: int, reduce_dtype: str = "f32",
+                   payload_dtype: str = "f32"):
     """(N, FIELDS) table + (capacity,) gid -> (FIELDS, capacity) payload.
 
     One fused row gather instead of one gather per field: XLA TPU gathers
     cost per *row*, almost independent of row width, so this is ~9x
-    cheaper than field-at-a-time.
+    cheaper than field-at-a-time. With payload_dtype="bf16" the row
+    shrinks to 7 int32 columns (see RenderConfig.payload_dtype): row
+    gathers cross a ~2x cost step above 8 columns on v5e.
 
     The VJP does NOT use XLA's scatter-add (~100 ns/row on TPU); it
     sorts the cotangent rows by gaussian id and reduces them with the
@@ -71,17 +111,30 @@ def gather_payload(table, entry_gid, n_rows: int, reduce_dtype: str = "f32"):
     """
     safe = jnp.maximum(entry_gid, 0)
     valid = entry_gid >= 0
+    pad = jnp.zeros((PAYLOAD_ROWS - FIELDS, entry_gid.shape[0]), jnp.float32)
+    if payload_dtype == "bf16":
+        packed = _pack_table7(table)  # (N, 7) int32
+        rows = jnp.take(packed, safe, axis=0)  # (capacity, 7)
+        rows = jnp.where(valid[:, None], rows, 0)
+        fields = _unpack_rows7(list(rows.T))
+        return jnp.concatenate([jnp.stack(fields, axis=0), pad], axis=0)
+    if payload_dtype != "f32":
+        raise ValueError(f"unknown payload_dtype: {payload_dtype!r}")
     rows = jnp.take(table, safe, axis=0)  # (capacity, FIELDS)
     rows = jnp.where(valid[:, None], rows, 0.0)
-    pad = jnp.zeros((PAYLOAD_ROWS - FIELDS, entry_gid.shape[0]), jnp.float32)
     return jnp.concatenate([rows.T, pad], axis=0)
 
 
-def _gather_payload_fwd(table, entry_gid, n_rows: int, reduce_dtype: str = "f32"):
-    return gather_payload(table, entry_gid, n_rows, reduce_dtype), entry_gid
+def _gather_payload_fwd(table, entry_gid, n_rows: int,
+                        reduce_dtype: str = "f32",
+                        payload_dtype: str = "f32"):
+    return (
+        gather_payload(table, entry_gid, n_rows, reduce_dtype, payload_dtype),
+        entry_gid,
+    )
 
 
-def _gather_payload_bwd(n_rows, reduce_dtype, entry_gid, d_payload):
+def _gather_payload_bwd(n_rows, reduce_dtype, payload_dtype, entry_gid, d_payload):
     # field-major reduction: d_payload's field rows ride the sort as
     # lax.sort operands, skipping a 13M-row gather and a transpose
     interpret = jax.default_backend() != "tpu"
@@ -107,14 +160,19 @@ def build_payload(
     opacities,
     binned: BinnedGaussians,
     reduce_dtype: str = "f32",
+    payload_dtype: str = "f32",
 ):
     """Gather the (FIELDS, capacity) field-major payload (differentiable).
 
     reduce_dtype: precision of the per-entry gradient rows through the
     VJP's reduction sort (see segsum.reduce_fields_by_id).
+    payload_dtype: row width/precision of the forward gather (see
+    RenderConfig.payload_dtype).
     """
     table = payload_table(proj, colors, opacities)
-    return gather_payload(table, binned.entry_gid, table.shape[0], reduce_dtype)
+    return gather_payload(
+        table, binned.entry_gid, table.shape[0], reduce_dtype, payload_dtype
+    )
 
 
 def _tiles_to_image(color, trans, grid_x: int, grid_y: int, width: int, height: int, tile=TILE):
@@ -186,7 +244,8 @@ def render_view(
     else:
         raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")
     payload = build_payload(
-        proj, colors, opacities, binned, cfg.grad_reduce_dtype
+        proj, colors, opacities, binned, cfg.grad_reduce_dtype,
+        cfg.payload_dtype,
     )
 
     if cfg.rasterizer == "pallas":

@@ -159,6 +159,10 @@ def _validate_sharded_cfg(cfg: RenderConfig, scfg: ShardedRenderConfig):
             "max_pairs_sorted is a single-chip option; sharded capacities "
             "are set via ShardedRenderConfig"
         )
+    # cfg.payload_dtype is a single-chip gather option; the sharded path
+    # always exchanges full-precision f32 payload rows (a bf16-packed
+    # exchange would also halve ICI bytes — future work), so "bf16" is
+    # accepted and ignored rather than rejected: the result is exact.
 
 
 def _render_shard(

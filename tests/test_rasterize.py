@@ -171,3 +171,39 @@ def test_strict_reference_mode_renders():
     img_inria = jax.jit(lambda *a: render(*a, cam, cfg=RenderConfig(
         max_pairs=20_000)))(*scene.render_args())
     assert np.abs(np.asarray(img) - np.asarray(img_inria)).max() > 1e-4
+
+
+def test_payload_dtype_bf16_close():
+    """payload_dtype="bf16" (7-column packed gather) matches the f32
+    path within bf16 rounding of opacity/colour; gradients stay finite
+    and close."""
+    import jax
+    import jax.numpy as jnp
+
+    cam = look_at_camera((3.2, -2.8, 2.1), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=96, height=64)
+    scene = random_scene(300, seed=11, scale_range=(0.02, 0.12))
+    args = scene.render_args()
+
+    imgs, grads = {}, {}
+    for pd in ("f32", "bf16"):
+        cfg = RenderConfig(max_pairs=60_000, payload_dtype=pd)
+
+        def loss(*a):
+            img, _ = render_aux(*a, cam, cfg=cfg)
+            return jnp.sum(img * img), img
+
+        (l, img), g = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
+        )(*args)
+        imgs[pd], grads[pd] = np.asarray(img), g
+
+    # bf16 rounds opacity/rgb (~2^-9 relative); blended pixels stay close
+    diff = np.abs(imgs["bf16"] - imgs["f32"])
+    assert diff.max() < 2e-2 and diff.mean() < 1e-3
+
+    for ga, gb in zip(grads["f32"], grads["bf16"]):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        assert np.all(np.isfinite(gb))
+        denom = np.abs(ga).max() + 1e-6
+        assert np.abs(gb - ga).max() / denom < 5e-2

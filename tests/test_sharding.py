@@ -305,3 +305,27 @@ def test_sharded_densify_step_accumulates_stats(scene):
     assert grad_sum[act].max() > 0  # visible gaussians got screen grads
     assert count[act].max() >= 1
     assert radii[act].max() > 0
+
+
+def test_exchange_capacity_overflow_flagged_and_recoverable():
+    """An exchange bucket exceeding exchange_capacity must raise the
+    sharded overflow flag (the signal train_cli's grow_capacity doubles
+    both sharded capacities on), and doubling the capacity must clear it
+    and restore the single-chip image."""
+    mesh = make_mesh((8,), ("gs",))
+    big = random_scene(1024, seed=5, scale_range=(0.4, 0.8))
+    small = ShardedRenderConfig(max_pairs_local=8192, exchange_capacity=128)
+    img, aux = jax.jit(
+        lambda *a: render_sharded(*a, CAM, mesh, cfg=CFG, scfg=small)
+    )(*big.render_args())
+    assert bool(aux.overflow)
+
+    grown = ShardedRenderConfig(
+        max_pairs_local=8192, exchange_capacity=small.exchange_capacity * 16
+    )
+    img2, aux2 = jax.jit(
+        lambda *a: render_sharded(*a, CAM, mesh, cfg=CFG, scfg=grown)
+    )(*big.render_args())
+    assert not bool(aux2.overflow)
+    img1 = jax.jit(lambda *a: render(*a, CAM, cfg=CFG))(*big.render_args())
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=2e-5)
