@@ -74,6 +74,11 @@ def build_parser():
     p.add_argument("--pack", choices=["chunk", "none"], default="chunk",
                    help="'none' skips range repacking (faster; identical "
                         "up to float reduction order)")
+    p.add_argument("--sort", choices=["2key", "fused"], default="2key",
+                   help="entry-sort keys: 'fused' packs (tile, quantized "
+                        "depth) into one 32-bit key (~3.5x cheaper sort; "
+                        "blend-order deviations only below ~2^-13 relative "
+                        "depth)")
     p.add_argument("--payload", choices=["f32", "bf16"], default="f32",
                    help="per-entry payload precision: 'bf16' packs "
                         "opacity+rgb through the capacity gather as bf16 "
@@ -120,7 +125,7 @@ def main(argv=None):
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
                        tile_h=args.tile_h,
                        pack_mode=args.pack, rect_mode=args.rect,
-                       payload_dtype=args.payload,
+                       payload_dtype=args.payload, sort_mode=args.sort,
                        use_focal=args.projection == "focal")
     print(f"num_gaussians: {scene.num_gaussians}")
     print(f"rendering {w}x{h} on {jax.default_backend()} ({len(jax.devices())} device(s))")

@@ -294,6 +294,14 @@ def main(argv=None):
     p.add_argument("--pack", choices=["chunk", "none"], default="none",
                    help="'none' is the fast path (identical up to float "
                         "reduction order)")
+    p.add_argument("--sort", choices=["2key", "fused"], default="fused",
+                   help="entry-sort key layout (see render_cli --sort); "
+                        "interactive viewing defaults to the fast fused "
+                        "keys")
+    p.add_argument("--payload", choices=["f32", "bf16"], default="bf16",
+                   help="payload-gather precision (see render_cli "
+                        "--payload); viewer default bf16 (rounding below "
+                        "jpeg quantisation)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -318,7 +326,8 @@ def main(argv=None):
     server = ViewerServer(
         scene, w, h,
         RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
-                     pack_mode=args.pack),
+                     pack_mode=args.pack, sort_mode=args.sort,
+                     payload_dtype=args.payload),
         name=name,
         init_pos=tuple(_parse_vec(args.cam_pos)),
         init_target=tuple(_parse_vec(args.cam_target)),

@@ -139,6 +139,12 @@ class RenderConfig:
     #: sort; ~2^-9 relative per-entry rounding, far below SGD gradient
     #: noise; per-gaussian sums stay f32).
     grad_reduce_dtype: str = "f32"
+    #: entry-sort key layout: "2key" (stable (tile, f32-depth) sort —
+    #: exact reference tie-break parity, shader.cpp:59-62) or "fused"
+    #: (single quantized uint32 key, ~3.5x cheaper sort; blend order
+    #: differs only between depths colliding within ~2^-13 relative at
+    #: 1080p. See ops.binning._sort_entries).
+    sort_mode: str = "2key"
     #: per-entry payload precision through the capacity-axis row gather:
     #: "f32" (exact, 9 f32 columns) or "bf16" (opacity+rgb ride the
     #: gather as bf16 pairs, shrinking the row to 7 int32 columns —

@@ -283,6 +283,48 @@ class NoPackBinned(NamedTuple):
     overflow: jnp.ndarray  # () bool
 
 
+def _sort_entries(tile_id, depth, gid, num_tiles: int, sort_mode: str):
+    """Sort expansion entries by (tile, depth) -> (sorted_tile, sorted_gid).
+
+    "2key": stable two-key sort. Exact parity with the reference's stable
+    LSD radix sort over packed (tile<<32)|float_bits(depth) 64-bit keys
+    (gs_tile_splatter/shader.cpp:59-62): full f32 depth order, ties keep
+    gaussian order.
+
+    "fused": the same packing idea compressed into ONE uint32 key —
+    tile rides the top tb = ceil(log2(num_tiles+2)) bits, depth's
+    positive-f32 bit pattern (monotone in value) quantized to the low
+    db = 32-tb bits (exponent + db-9 mantissa bits, i.e. ~2^-(db-9)
+    relative depth resolution; db >= 21 at 1080p/tile=32). A single-key
+    2-operand unstable sort measured 12.3 ms vs 43.3 ms for the 2-key
+    stable sort at 10.7M entries on v5e (BASELINE.md round 3). Blend
+    order differs from "2key" only between splats whose depths collide
+    within quantization; falls back to "2key" when the grid is so large
+    that db < 12.
+    """
+    if sort_mode == "fused":
+        tb = (num_tiles + 1).bit_length()
+        db = 32 - tb
+        if db >= 12:
+            dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+            # invalid entries may carry arbitrary depth bits: mask to the
+            # field so they cannot corrupt the (sentinel) tile bits
+            dq = jax.lax.shift_right_logical(dbits, 31 - db) & ((1 << db) - 1)
+            key = (tile_id.astype(jnp.uint32) << db) | dq.astype(jnp.uint32)
+            skey, sgid = jax.lax.sort((key, gid), num_keys=1, is_stable=False)
+            stile = jax.lax.shift_right_logical(
+                skey, jnp.uint32(db)
+            ).astype(jnp.int32)
+            return stile, sgid
+        sort_mode = "2key"
+    if sort_mode != "2key":
+        raise ValueError(f"unknown sort_mode: {sort_mode!r}")
+    stile, _d, sgid = jax.lax.sort(
+        (tile_id, depth, gid), num_keys=2, is_stable=True
+    )
+    return stile, sgid
+
+
 def bin_gaussians_nopack(
     proj: ProjectedGaussians,
     grid_x: int,
@@ -294,6 +336,7 @@ def bin_gaussians_nopack(
     expansion: str = "auto",
     max_sorted: int | None = None,
     interpret=None,
+    sort_mode: str = "2key",
 ) -> NoPackBinned:
     """Expand and sort splat entries; ranges stay unpadded (no-pack mode).
 
@@ -311,8 +354,8 @@ def bin_gaussians_nopack(
     )
     overflow = total > max_pairs
 
-    sorted_tile, _d, sorted_gid = jax.lax.sort(
-        (tile_id, depth, gid), num_keys=2, is_stable=True
+    sorted_tile, sorted_gid = _sort_entries(
+        tile_id, depth, gid, num_tiles, sort_mode
     )
     # chunk-rounding can push cap to/past max_pairs (max_pairs need not be
     # CHUNK-aligned); then the trim is a no-op and sorted_gid[cap] would
@@ -355,11 +398,12 @@ def bin_gaussians(
     expansion: str = "auto",
     max_sorted: int | None = None,
     interpret=None,
+    sort_mode: str = "2key",
 ) -> BinnedGaussians:
     """Expand, sort and tile-pack splat entries (single-shard path).
 
     Returns BinnedGaussians with ``capacity = max_pairs + num_tiles*CHUNK``.
-    max_sorted: see bin_gaussians_nopack.
+    max_sorted: see bin_gaussians_nopack. sort_mode: see _sort_entries.
     """
     num_tiles = grid_x * grid_y
     tile_id, depth, gid, total = expand_entries_auto(
@@ -368,11 +412,8 @@ def bin_gaussians(
     )
     overflow = total > max_pairs
 
-    # stable sort so depth ties keep gaussian order, matching the
-    # reference's stable LSD radix sort over packed
-    # (tile<<32)|float_bits(depth) keys (shader.cpp:59-62)
-    sorted_tile, _d, sorted_gid = jax.lax.sort(
-        (tile_id, depth, gid), num_keys=2, is_stable=True
+    sorted_tile, sorted_gid = _sort_entries(
+        tile_id, depth, gid, num_tiles, sort_mode
     )
     eff_pairs = max_pairs
     # see bin_gaussians_nopack: skip the trim when rounding reaches max_pairs

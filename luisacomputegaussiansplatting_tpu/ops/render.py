@@ -233,13 +233,13 @@ def render_view(
         binned = bin_gaussians(
             proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile_wh,
             cfg.alpha_min, cfg.expansion, cfg.max_pairs_sorted,
-            cfg.interpret,
+            cfg.interpret, cfg.sort_mode,
         )
     elif cfg.pack_mode == "none":
         binned = bin_gaussians_nopack(
             proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile_wh,
             cfg.alpha_min, cfg.expansion, cfg.max_pairs_sorted,
-            cfg.interpret,
+            cfg.interpret, cfg.sort_mode,
         )
     else:
         raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")

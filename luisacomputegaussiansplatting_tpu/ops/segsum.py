@@ -238,36 +238,64 @@ def _unpack_bf16_pairs(packed, n: int):
 
 
 def reduce_fields_by_id(
-    gid, field_rows, n_out: int, interpret: bool = False, dtype: str = "f32"
+    gid, field_rows, n_out: int, interpret: bool = False, dtype: str = "f32",
+    method: str = "ride",
 ):
-    """Like reduce_rows_by_id but for field-major input: the COLS field
-    rows ride the sort as extra lax.sort operands, skipping the row
-    gather and the pre-sort transpose of the row-major path.
+    """Like reduce_rows_by_id but for field-major input.
 
     Args:
       gid: (L,) int32 in [-1, n_out); -1 rows are dropped.
       field_rows: COLS-sequence of (L,) float32 (e.g. payload-gradient
         rows straight off the backward kernel's field-major output).
-      dtype: "f32" (exact) or "bf16" — per-entry rows round to bf16 and
-        ride the sort packed in pairs, cutting the dominant sort-operand
-        bytes 40%. The ~2^-9 relative per-entry rounding is far below
-        SGD gradient noise; the per-gaussian sums stay f32.
+      dtype: "f32" (exact) or "bf16" — per-entry rows round to bf16
+        (packed in pairs) before the sort-side movement, cutting the
+        dominant bytes ~40%. The ~2^-9 relative per-entry rounding is
+        far below SGD gradient noise; the per-gaussian sums stay f32.
+      method:
+        "rowgather" — sort only (key, iota) (unique composite => fully
+          deterministic even unstable), then move the field rows with a
+          SINGLE row gather of the (L, cols)-packed matrix. Row gathers
+          are ~per-row-cost on TPU, so this can beat hauling every
+          field row through the sort's merge passes (see BASELINE.md
+          round 3 for the measured comparison).
+        "ride" — the COLS rows ride the sort as extra lax.sort operands
+          (no gather, no (L, cols) re-layout); cheaper only for few
+          columns.
 
     Returns (n_out, COLS) float32 sums.
     """
     cols = len(field_rows)
     L = gid.shape[0]
     key = jnp.where(gid >= 0, gid, n_out)
-    if dtype == "bf16":
-        packed = _pack_bf16_pairs(field_rows)
-        sorted_all = jax.lax.sort((key, *packed), num_keys=1)
-        sorted_key = sorted_all[0]
-        sorted_fields = _unpack_bf16_pairs(sorted_all[1:], cols)
-    elif dtype == "f32":
-        sorted_all = jax.lax.sort((key, *field_rows), num_keys=1)
-        sorted_key, sorted_fields = sorted_all[0], sorted_all[1:]
+    if method == "rowgather":
+        iota = jnp.arange(L, dtype=jnp.int32)
+        sorted_key, perm = jax.lax.sort((key, iota), num_keys=1)
+        if dtype == "bf16":
+            packed = _pack_bf16_pairs(field_rows)
+            mat = jnp.stack(packed, axis=1)  # (L, ceil(cols/2)) uint32
+            sp = jnp.take(mat, perm, axis=0)
+            sorted_fields = _unpack_bf16_pairs(
+                [sp[:, i] for i in range(sp.shape[1])], cols
+            )
+        elif dtype == "f32":
+            mat = jnp.stack(field_rows, axis=1)  # (L, cols)
+            sp = jnp.take(mat, perm, axis=0)
+            sorted_fields = [sp[:, i] for i in range(cols)]
+        else:
+            raise ValueError(f"unknown reduce dtype {dtype!r}")
+    elif method == "ride":
+        if dtype == "bf16":
+            packed = _pack_bf16_pairs(field_rows)
+            sorted_all = jax.lax.sort((key, *packed), num_keys=1)
+            sorted_key = sorted_all[0]
+            sorted_fields = _unpack_bf16_pairs(sorted_all[1:], cols)
+        elif dtype == "f32":
+            sorted_all = jax.lax.sort((key, *field_rows), num_keys=1)
+            sorted_key, sorted_fields = sorted_all[0], sorted_all[1:]
+        else:
+            raise ValueError(f"unknown reduce dtype {dtype!r}")
     else:
-        raise ValueError(f"unknown reduce dtype {dtype!r}")
+        raise ValueError(f"unknown reduce method {method!r}")
     keep = sorted_key < n_out
 
     n_windows = max(1, -(-n_out // E))

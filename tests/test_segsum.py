@@ -132,8 +132,18 @@ def test_reduce_fields_matches_rows():
     rows = rng.normal(size=(L, 9)).astype(np.float32)
     rows[np.asarray(gid) == -1] = np.nan  # dropped garbage must not leak
     a = reduce_rows_by_id(gid, jnp.asarray(rows), n_out, interpret=True)
-    b = reduce_fields_by_id(
-        gid, tuple(jnp.asarray(rows[:, i]) for i in range(9)), n_out,
-        interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    fields = tuple(jnp.asarray(rows[:, i]) for i in range(9))
+    for method in ("rowgather", "ride"):
+        b = reduce_fields_by_id(
+            gid, fields, n_out, interpret=True, method=method,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=method,
+        )
+        # bf16: per-entry rounding only — segment sums stay close
+        c = reduce_fields_by_id(
+            gid, fields, n_out, interpret=True, dtype="bf16", method=method,
+        )
+        scale = np.abs(np.asarray(a)).max()
+        assert np.abs(np.asarray(c) - np.asarray(a)).max() < 2e-2 * scale
