@@ -362,3 +362,22 @@ def test_fused_sort_mode_matches_2key():
         *a, cam, cfg=RenderConfig(max_pairs=50_000, sort_mode="fused"))[0])(
         *scene.render_args())
     assert np.abs(np.asarray(img2) - np.asarray(imgf)).max() < 1e-5
+
+
+def test_fused_sort_fallback_huge_grid():
+    """When the tile grid leaves fewer than 12 depth bits, "fused" must
+    fall back to the exact 2-key sort (identical output order)."""
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.ops.binning import _sort_entries
+
+    rng = np.random.default_rng(3)
+    L = 4096
+    num_tiles = 1 << 22  # tb = 23 -> db = 9 < 12: must fall back
+    tile = jnp.asarray(rng.integers(0, num_tiles, L).astype(np.int32))
+    depth = jnp.asarray(rng.uniform(0.2, 30.0, L).astype(np.float32))
+    gid = jnp.asarray(np.arange(L, dtype=np.int32))
+    t_f, g_f = _sort_entries(tile, depth, gid, num_tiles, "fused")
+    t_2, g_2 = _sort_entries(tile, depth, gid, num_tiles, "2key")
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_2))
+    np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_2))
