@@ -74,6 +74,11 @@ def build_parser():
     p.add_argument("--pack", choices=["chunk", "none"], default="chunk",
                    help="'none' skips range repacking (faster; identical "
                         "up to float reduction order)")
+    p.add_argument("--tight-radius", action="store_true",
+                   help="shrink splat radii to the exact alpha_min reach "
+                        "sqrt(2 ln(o/alpha_min)) sigma (image identical "
+                        "up to reduction order; fewer expansion slots "
+                        "for faint splats)")
     p.add_argument("--sort", choices=["2key", "fused"], default="2key",
                    help="entry-sort keys: 'fused' packs (tile, quantized "
                         "depth) into one 32-bit key (~3.5x cheaper sort; "
@@ -126,6 +131,7 @@ def main(argv=None):
                        tile_h=args.tile_h,
                        pack_mode=args.pack, rect_mode=args.rect,
                        payload_dtype=args.payload, sort_mode=args.sort,
+                       tight_radius=args.tight_radius,
                        use_focal=args.projection == "focal")
     print(f"num_gaussians: {scene.num_gaussians}")
     print(f"rendering {w}x{h} on {jax.default_backend()} ({len(jax.devices())} device(s))")

@@ -61,6 +61,8 @@ def build_parser():
                    help="payload-gather precision (see render_cli --payload)")
     p.add_argument("--sort", choices=["2key", "fused"], default="2key",
                    help="entry-sort key layout (see render_cli --sort)")
+    p.add_argument("--tight-radius", action="store_true",
+                   help="exact alpha_min splat radii (see render_cli)")
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--sh-upgrade-every", type=int, default=1000,
                    help="raise the active SH degree by one every N iters "
@@ -241,7 +243,8 @@ def main(argv=None):
 
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
                        tile_h=args.tile_h, pack_mode=args.pack,
-                       payload_dtype=args.payload, sort_mode=args.sort)
+                       payload_dtype=args.payload, sort_mode=args.sort,
+                       tight_radius=args.tight_radius)
     scfg = None
     pad_targets_fn = None
     if mesh is not None:

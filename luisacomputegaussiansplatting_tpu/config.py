@@ -139,6 +139,16 @@ class RenderConfig:
     #: sort; ~2^-9 relative per-entry rounding, far below SGD gradient
     #: noise; per-gaussian sums stay f32).
     grad_reduce_dtype: str = "f32"
+    #: shrink each splat's pixel radius from the fixed radius_sigma
+    #: (reference 3 sigma, shader.cpp:139-148) to the exact alpha_min
+    #: reach sqrt(2 ln(opacity/alpha_min)) sigma (clamped to
+    #: radius_sigma). Images identical up to float reduction order (the
+    #: blend kernel skips alpha < alpha_min contributions anyway,
+    #: shader.cpp:257-266; removing them regroups chunked prefix sums);
+    #: low-opacity splats just stop occupying expansion slots for tiles
+    #: they cannot touch. Changes RenderAux.radii values (densify
+    #: screen-size stats see the tight radius).
+    tight_radius: bool = False
     #: entry-sort key layout: "2key" (stable (tile, f32-depth) sort —
     #: exact reference tie-break parity, shader.cpp:59-62) or "fused"
     #: (single quantized uint32 key, ~3.5x cheaper sort; blend order

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import TILE, RenderConfig
@@ -104,6 +105,7 @@ def project_gaussians(
     height: int | None = None,
     active_mask=None,
     means2d_probe=None,
+    opacities=None,
 ) -> ProjectedGaussians:
     """Project gaussians into screen space and bin-precompute tile rects.
 
@@ -124,6 +126,16 @@ def project_gaussians(
       means2d_probe: optional (N, 2) zeros added to the pixel-space
         centres; its gradient is the screen-space positional gradient the
         densification policy accumulates (graphdeco's viewspace_grad).
+      opacities: optional (N,) activated opacities; with
+        cfg.tight_radius, shrinks each splat's pixel radius from the
+        reference's fixed 3 sigma (shader.cpp:139-148) to
+        min(radius_sigma, sqrt(2 ln(o / alpha_min))) sigma — the EXACT
+        reach of the alpha >= alpha_min test the blend kernel applies
+        per pixel (shader.cpp:257-266), so the rendered image is
+        identical up to float reduction order while low-opacity
+        splats touch fewer tiles
+        (fewer expansion slots + shorter sorts). Ignored when
+        cfg.tight_radius is False.
     """
     if isinstance(camera, Camera):
         width, height = camera.width, camera.height
@@ -183,8 +195,17 @@ def project_gaussians(
         a = a * (width * width * 0.25)
         b = b * (width * height * 0.25)
         c = c * (height * width * 0.25)
+    tight_sigma = None
+    if cfg.tight_radius and opacities is not None:
+        # exact alpha_min reach (see docstring); no gradient flows into
+        # the integer radius anyway, but cut the tangent path explicitly
+        o = jax.lax.stop_gradient(opacities.reshape(-1))
+        tight_sigma = jnp.sqrt(jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(o, 1e-12) / cfg.alpha_min), 0.0
+        ))
+        tight_sigma = jnp.where(o > cfg.alpha_min, tight_sigma, 0.0)
     (ca, cb, cc), radius = conic_and_radius_comps(
-        a, b, c, cfg.lowpass, cfg.radius_sigma, cfg.det_eps
+        a, b, c, cfg.lowpass, cfg.radius_sigma, cfg.det_eps, tight_sigma
     )
     conic = stack_cols(ca, cb, cc)
     radius = jnp.where(in_front, radius, 0)

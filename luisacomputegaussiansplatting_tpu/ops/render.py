@@ -226,6 +226,7 @@ def render_view(
         height=height,
         active_mask=active_mask,
         means2d_probe=means2d_probe,
+        opacities=opacities if cfg.tight_radius else None,
     )
     grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
     cull_op = opacities if cfg.tile_cull else None

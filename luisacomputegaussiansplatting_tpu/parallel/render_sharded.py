@@ -203,6 +203,7 @@ def _render_shard(
         means3d, scales, quats, cam_view, cfg, ewa_mode=ewa_mode,
         width=width, height=height, active_mask=active_mask,
         means2d_probe=means2d_probe,
+        opacities=opacities if cfg.tight_radius else None,
     )
 
     l_loc = scfg.max_pairs_local

@@ -144,8 +144,22 @@ def ewa_project_cov_comps(sigma_view, tx, ty, tz, focal_x, focal_y):
     return a, b, c
 
 
-def conic_and_radius_comps(a, b, c, lowpass=0.3, radius_sigma=3.0, det_eps=1e-6):
-    """Component form of :func:`conic_and_radius`."""
+def conic_and_radius_comps(a, b, c, lowpass=0.3, radius_sigma=3.0,
+                           det_eps=1e-6, tight_sigma=None):
+    """Component form of :func:`conic_and_radius`.
+
+    tight_sigma: optional (N,) per-splat sigma reach (e.g.
+    sqrt(2 ln(o/alpha_min)), the exact alpha_min cutoff distance). The
+    radius then shrinks to min(radius_sigma, tight_sigma)-based discs.
+    The +2 px margin absorbs the tile-rect formula's fractional
+    truncation (floor((p + r + tw-1)/tw) covers pixels only up to
+    p + r - 1, and an f32 floor flip at a tile boundary costs up to one
+    tile row): with it, every pixel whose alpha can reach alpha_min
+    stays inside the rect, keeping renders exact (up to reduction
+    order regrouping) vs the full
+    radius_sigma disc. tight_sigma <= 0 (opacity <= alpha_min) culls
+    the splat outright.
+    """
     a = a + lowpass
     c = c + lowpass
     det = a * c - b * b
@@ -153,7 +167,13 @@ def conic_and_radius_comps(a, b, c, lowpass=0.3, radius_sigma=3.0, det_eps=1e-6)
     conic = (c * inv_det, -b * inv_det, a * inv_det)
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(radius_sigma * jnp.sqrt(mid + disc)).astype(jnp.int32)
+    sq = jnp.sqrt(mid + disc)
+    radius = jnp.ceil(radius_sigma * sq).astype(jnp.int32)
+    if tight_sigma is not None:
+        r_t = jnp.ceil(tight_sigma * sq).astype(jnp.int32) + 2
+        radius = jnp.where(
+            tight_sigma > 0.0, jnp.minimum(radius, r_t), 0
+        )
     return conic, radius
 
 

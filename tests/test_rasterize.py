@@ -207,3 +207,45 @@ def test_payload_dtype_bf16_close():
         assert np.all(np.isfinite(gb))
         denom = np.abs(ga).max() + 1e-6
         assert np.abs(gb - ga).max() / denom < 5e-2
+
+
+def test_tight_radius_bit_exact_and_fewer_entries():
+    """tight_radius shrinks radii to the exact alpha_min reach: every
+    culled entry contributes exactly zero (the blend kernel skips
+    alpha < alpha_min anyway), so images agree to float reduction
+    order (their absence regroups the chunked prefix sums — same
+    ulp-level tolerance as the tile_cull test), low-opacity splats
+    emit fewer entries, and gradients agree likewise."""
+    import jax
+    import jax.numpy as jnp
+
+    cam = look_at_camera((3.2, -2.8, 2.1), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=96, height=64)
+    scene = random_scene(300, seed=31, scale_range=(0.05, 0.35))
+    # force a wide opacity spread incl. very faint splats
+    rng = np.random.default_rng(5)
+    opac = jnp.asarray(rng.uniform(0.004, 0.9, 300).astype(np.float32))
+    m, s, q, _o, sh = scene.render_args()
+
+    base = RenderConfig(max_pairs=120_000)
+    tight = RenderConfig(max_pairs=120_000, tight_radius=True)
+    img_b, aux_b = jax.jit(lambda *a: render_aux(*a, cam, cfg=base))(
+        m, s, q, opac, sh)
+    img_t, aux_t = jax.jit(lambda *a: render_aux(*a, cam, cfg=tight))(
+        m, s, q, opac, sh)
+    assert int(aux_t.num_rendered) < int(aux_b.num_rendered), (
+        int(aux_t.num_rendered), int(aux_b.num_rendered))
+    np.testing.assert_allclose(
+        np.asarray(img_t), np.asarray(img_b), atol=1e-6)
+
+    for cfg_pair in ((base, tight),):
+        g = []
+        for cfg in cfg_pair:
+            g.append(jax.jit(jax.grad(
+                lambda *a: jnp.sum(jnp.sin(render_aux(*a, cam, cfg=cfg)[0])),
+                argnums=(0, 3),
+            ))(m, s, q, opac, sh))
+        for a, b in zip(*g):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
