@@ -82,7 +82,9 @@ def run_child(name: str) -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from luisacomputegaussiansplatting_tpu.config import RenderConfig
-    from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+    from luisacomputegaussiansplatting_tpu.io.synthetic import (
+        random_scene_device,
+    )
     from luisacomputegaussiansplatting_tpu.ops.render import render_aux
     from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
 
@@ -93,7 +95,9 @@ def run_child(name: str) -> None:
         (3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
         fov=65.0, width=WIDTH, height=HEIGHT,
     )
-    scene = random_scene(
+    # device-side generation: host numpy + upload of the 6M scene costs
+    # ~6 min through the axon tunnel (same distributions either way)
+    scene = random_scene_device(
         n_gaussians, seed=0, extent=3.0, scale_range=(0.004, 0.02)
     )
     args = scene.render_args()

@@ -74,3 +74,58 @@ def random_scene(
         opacities=jnp.asarray(opacities),
         sh=jnp.asarray(sh),
     )
+
+
+def random_scene_device(
+    n: int,
+    seed: int = 0,
+    extent: float = 3.0,
+    scale_range=(0.01, 0.15),
+    sh_degree: int = 3,
+    sh_rest_std: float = 0.05,
+) -> GaussianScene:
+    """random_scene generated ON DEVICE with jax.random (same
+    distributions, different realization).
+
+    Use for benchmark-scale scenes: host-side numpy generation +
+    jnp.asarray of ~1.4 GB (6M gaussians) measured 353 s through the
+    axon tunnel (BASELINE.md round 3); this path builds the arrays where
+    they are consumed in <1 s. Tests keep the numpy random_scene (their
+    fixtures/goldens depend on its exact values).
+    """
+    import functools
+
+    import jax
+
+    log_lo = float(np.log(scale_range[0]))
+    log_hi = float(np.log(scale_range[1]))
+    k = num_sh_coeffs(sh_degree)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def gen(key):
+        ks = jax.random.split(key, 6)
+        means = jax.random.uniform(
+            ks[0], (n, 3), jnp.float32, -extent, extent
+        )
+        scales = jnp.exp(
+            jax.random.uniform(ks[1], (n, 3), jnp.float32, log_lo, log_hi)
+        )
+        quats = jax.random.normal(ks[2], (n, 4), jnp.float32)
+        quats = quats / jnp.linalg.norm(quats, axis=1, keepdims=True)
+        opacities = jax.random.uniform(ks[3], (n,), jnp.float32, 0.2, 0.95)
+        base = jax.random.uniform(ks[4], (n, 3), jnp.float32, 0.05, 0.95)
+        sh0 = sh_from_color(base)[:, None, :]
+        if k > 1:
+            rest = (
+                jax.random.normal(ks[5], (n, k - 1, 3), jnp.float32)
+                * sh_rest_std
+            )
+            sh = jnp.concatenate([sh0, rest], axis=1)
+        else:
+            sh = sh0
+        return means, scales, quats, opacities, sh
+
+    means, scales, quats, opacities, sh = gen(jax.random.PRNGKey(seed))
+    return GaussianScene(
+        means=means, scales=scales, quats=quats, opacities=opacities, sh=sh
+    )

@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from luisacomputegaussiansplatting_tpu.config import RenderConfig
-from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene_device as random_scene
 from luisacomputegaussiansplatting_tpu.ops.binning import bin_gaussians_nopack
 from luisacomputegaussiansplatting_tpu.ops.projection import (
     project_gaussians, tile_grid,

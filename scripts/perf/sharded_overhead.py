@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from luisacomputegaussiansplatting_tpu.config import RenderConfig
-from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene_device as random_scene
 from luisacomputegaussiansplatting_tpu.ops.render import render_aux
 from luisacomputegaussiansplatting_tpu.parallel.mesh import make_mesh
 from luisacomputegaussiansplatting_tpu.parallel.render_sharded import (

@@ -22,7 +22,7 @@ S = int(sys.argv[1])
 ep.S = S
 
 from luisacomputegaussiansplatting_tpu.config import RenderConfig
-from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
+from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene_device as random_scene
 from luisacomputegaussiansplatting_tpu.ops.projection import (
     project_gaussians, tile_grid,
 )
