@@ -79,23 +79,25 @@ def _expand_kernel(
     tile_w: int,
     tile_h: int,
     alpha_min: float,
+    s: int = S,
+    w: int = W,
 ):
     c = pl.program_id(0)
     lo = row_lo_ref[c]
     n_sub = n_sub_ref[c]
     # chunk base split (exact int32 scalars -> exact small f32 parts)
-    cbase = c * S
+    cbase = c * s
     cs_hi = (cbase // _SPLIT).astype(jnp.float32)
     cs_lo = (cbase % _SPLIT).astype(jnp.float32)
-    i_slot = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(
+    i_slot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(
         jnp.float32
-    )  # (S, 1) chunk-relative slot index in [0, S)
+    )  # (s, 1) chunk-relative slot index in [0, s)
 
     def dma(sw):
         slot_b = jax.lax.rem(sw, 2)
-        off = pl.multiple_of(lo + sw * W, 128)
+        off = pl.multiple_of(lo + sw * w, 128)
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(off, W)], buf.at[slot_b], sems.at[slot_b]
+            table_hbm.at[:, pl.ds(off, w)], buf.at[slot_b], sems.at[slot_b]
         )
 
     @pl.when(n_sub > 0)
@@ -133,10 +135,10 @@ def _expand_kernel(
         return vals
 
     vals = jax.lax.fori_loop(
-        0, n_sub, body, jnp.zeros((nf, S), jnp.float32), unroll=False
+        0, n_sub, body, jnp.zeros((nf, s), jnp.float32), unroll=False
     )
 
-    i_t = i_slot.reshape(1, S)
+    i_t = i_slot.reshape(1, s)
     rel_start_s = rel(vals[0:1, :], vals[1:2, :])  # (1, S)
     rel_end_s = rel(vals[2:3, :], vals[3:4, :])
     # unmatched slots gathered all-zero rows: rel_end = -cbase <= i fails
@@ -195,7 +197,7 @@ def _expand_kernel(
         reaches = q_min <= jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
         matched = matched & reaches
 
-    pad = jnp.zeros((5, S), jnp.float32)
+    pad = jnp.zeros((5, s), jnp.float32)
     out_ref[0] = jnp.concatenate(
         [
             jnp.where(matched, tile_id, float(num_tiles)),
@@ -216,9 +218,16 @@ def expand_entries_pallas(
     tile=16,
     alpha_min: float = 1.0 / 255.0,
     interpret: bool = False,
+    s: int = S,
+    w: int = W,
 ):
     """Pallas expansion; same contract as binning.expand_entries,
     including the optional exact ellipse-tile cull (``opacities``).
+
+    s, w: output slots per grid step / streamed table rows per
+    subwindow. Larger s amortises the per-grid-step overhead (~25K
+    steps at s=512 for a 13M capacity); w scales with s so one
+    subwindow still usually covers a chunk's contiguous row span.
 
     Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
     slots have tile_id == num_tiles, depth == +inf, gid == -1.
@@ -238,8 +247,8 @@ def expand_entries_pallas(
     starts = ends - counts
     total = ends[-1] if p > 0 else jnp.int32(0)
 
-    n_chunks = -(-max_pairs // S)
-    l_pad = n_chunks * S
+    n_chunks = -(-max_pairs // s)
+    l_pad = n_chunks * s
 
     def split(x):
         return x // _SPLIT, x % _SPLIT
@@ -277,37 +286,37 @@ def expand_entries_pallas(
     table = jnp.stack(fields, axis=0)  # (nf, P)
     # lane padding so any 128-aligned (nf, W) slice stays in bounds
     table = jnp.concatenate(
-        [table, jnp.zeros((nf, W + 128), jnp.float32)], axis=1
+        [table, jnp.zeros((nf, w + 128), jnp.float32)], axis=1
     )
 
     # per-chunk contiguous row spans (two searchsorteds, XLA-side)
-    bounds_lo = jnp.arange(n_chunks, dtype=jnp.int32) * S
-    bounds_hi = bounds_lo + S
+    bounds_lo = jnp.arange(n_chunks, dtype=jnp.int32) * s
+    bounds_hi = bounds_lo + s
     lo = jnp.searchsorted(ends, bounds_lo, side="right").astype(jnp.int32)
     hi = jnp.searchsorted(starts, bounds_hi, side="left").astype(jnp.int32)
     lo_al = (lo // 128) * 128
-    n_sub = jnp.maximum(-(-(hi - lo_al) // W), 0).astype(jnp.int32)
+    n_sub = jnp.maximum(-(-(hi - lo_al) // w), 0).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, S), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, s), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, nf, W), jnp.float32),
+            pltpu.VMEM((2, nf, w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _expand_kernel, grid_x=grid_x, num_tiles=num_tiles, nf=nf,
-        cull=cull, tile_w=tw, tile_h=th, alpha_min=alpha_min,
+        cull=cull, tile_w=tw, tile_h=th, alpha_min=alpha_min, s=s, w=w,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_chunks, 8, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 8, s), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),

@@ -52,6 +52,7 @@ def _segsum_kernel(
     sems,  # (2,) DMA semaphores
     *,
     cols: int,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     w = pl.program_id(0)
     w_base = w * E
@@ -109,9 +110,12 @@ def _segsum_kernel(
                 data,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                # sel is exact 0/1; without HIGHEST the MXU rounds the f32
-                # gradient operand toward bf16 (~2^-9 relative error).
-                precision=jax.lax.Precision.HIGHEST,
+                # sel is exact 0/1; with f32 data HIGHEST is required or
+                # the MXU rounds the gradient operand toward bf16 (~2^-9
+                # relative error). When the data rows are already exactly
+                # bf16-representable (dtype="bf16" reductions) the caller
+                # passes DEFAULT: a single bf16 MXU pass is then exact.
+                precision=precision,
             )  # (STRIP, cols)
             out_ref[pl.ds(base, _STRIP), :] += part
             return 0
@@ -154,7 +158,8 @@ def segment_sum_sorted(
     return _segsum_call(sorted_gid, table, n_out, cols, interpret)
 
 
-def _segsum_call(sorted_gid, table, n_out: int, cols: int, interpret: bool):
+def _segsum_call(sorted_gid, table, n_out: int, cols: int, interpret: bool,
+                 precision=jax.lax.Precision.HIGHEST):
     """Invoke the window kernel on a prebuilt (_ROWS, L + E) table."""
     n_windows = max(1, -(-n_out // E))
     bounds = jnp.arange(n_windows + 1, dtype=jnp.int32) * E
@@ -174,7 +179,7 @@ def _segsum_call(sorted_gid, table, n_out: int, cols: int, interpret: bool):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, cols=cols),
+        functools.partial(_segsum_kernel, cols=cols, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows * E, cols), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -196,9 +201,11 @@ def reduce_rows_by_id(gid, rows, n_out: int, interpret: bool = False):
     """
     L, cols = rows.shape
     key = jnp.where(gid >= 0, gid, n_out)
-    # argsort (cheap: 8-byte pairs), then one row gather of the payload
+    # argsort (cheap: 8-byte pairs), then one row gather of the payload.
+    # (key, iota) is unique, so 2-key unstable == 1-key stable but runs
+    # lax.sort's cheaper unstable network.
     iota = jnp.arange(L, dtype=jnp.int32)
-    sorted_key, perm = jax.lax.sort((key, iota), num_keys=1)
+    sorted_key, perm = jax.lax.sort((key, iota), num_keys=2, is_stable=False)
     # dropped rows may hold garbage (e.g. unwritten backward-kernel
     # columns); zero them or 0 * NaN would poison the one-hot matmul
     keep = sorted_key < n_out
@@ -239,7 +246,7 @@ def _unpack_bf16_pairs(packed, n: int):
 
 def reduce_fields_by_id(
     gid, field_rows, n_out: int, interpret: bool = False, dtype: str = "f32",
-    method: str = "ride",
+    method: str = "ride", stable: bool = False,
 ):
     """Like reduce_rows_by_id but for field-major input.
 
@@ -261,6 +268,12 @@ def reduce_fields_by_id(
         "ride" — the COLS rows ride the sort as extra lax.sort operands
           (no gather, no (L, cols) re-layout); cheaper only for few
           columns.
+      stable: sort stability. A segment-sum is invariant to the order of
+        entries within a segment up to float-summation association, so
+        the default production path uses stable=False (lax.sort's
+        unstable mode runs ~2x fewer merge bytes, BASELINE.md round 3);
+        stable=True reproduces a fixed intra-segment order for
+        bit-exactness comparisons.
 
     Returns (n_out, COLS) float32 sums.
     """
@@ -268,8 +281,12 @@ def reduce_fields_by_id(
     L = gid.shape[0]
     key = jnp.where(gid >= 0, gid, n_out)
     if method == "rowgather":
+        # (key, iota) is a unique composite: 2-key unstable == 1-key
+        # stable, at unstable-sort cost
         iota = jnp.arange(L, dtype=jnp.int32)
-        sorted_key, perm = jax.lax.sort((key, iota), num_keys=1)
+        sorted_key, perm = jax.lax.sort(
+            (key, iota), num_keys=2, is_stable=False
+        )
         if dtype == "bf16":
             packed = _pack_bf16_pairs(field_rows)
             mat = jnp.stack(packed, axis=1)  # (L, ceil(cols/2)) uint32
@@ -286,11 +303,15 @@ def reduce_fields_by_id(
     elif method == "ride":
         if dtype == "bf16":
             packed = _pack_bf16_pairs(field_rows)
-            sorted_all = jax.lax.sort((key, *packed), num_keys=1)
+            sorted_all = jax.lax.sort(
+                (key, *packed), num_keys=1, is_stable=stable
+            )
             sorted_key = sorted_all[0]
             sorted_fields = _unpack_bf16_pairs(sorted_all[1:], cols)
         elif dtype == "f32":
-            sorted_all = jax.lax.sort((key, *field_rows), num_keys=1)
+            sorted_all = jax.lax.sort(
+                (key, *field_rows), num_keys=1, is_stable=stable
+            )
             sorted_key, sorted_fields = sorted_all[0], sorted_all[1:]
         else:
             raise ValueError(f"unknown reduce dtype {dtype!r}")
@@ -308,4 +329,12 @@ def reduce_fields_by_id(
     )
     tail = jnp.zeros((_ROWS, E), jnp.float32).at[cols, :].set(outside)
     table = jnp.concatenate([table, tail], axis=1)
-    return _segsum_call(sorted_key, table, n_out, cols, interpret)
+    # bf16-exact data: a single DEFAULT-precision MXU pass loses nothing
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if dtype == "bf16"
+        else jax.lax.Precision.HIGHEST
+    )
+    return _segsum_call(
+        sorted_key, table, n_out, cols, interpret, precision
+    )
