@@ -107,13 +107,25 @@ def precompute():
     return f(means, scales, quats, opac, sh)
 
 
-def stage_fwd():
+def stage_fwd(cfg=None, tag=""):
+    cfg = cfg or CFG
+
     def f(salt, m):
         img, aux = render_aux(m, scales, quats, opac, sh, cam,
-                              bg_color=jnp.zeros(3) + salt, cfg=CFG)
+                              bg_color=jnp.zeros(3) + salt, cfg=cfg)
         return img
 
-    timeit("fwd", f, (means,))
+    timeit(f"fwd{tag}", f, (means,))
+
+
+def stage_fwd_r2():
+    """A/B: the round-2 forward config (2-key stable sort, 9-col f32
+    payload) vs the production fused/bf16 config — resolves whether the
+    isolated sort/gather wins compose inside the full frame."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, sort_mode="2key", payload_dtype="f32")
+    stage_fwd(cfg, "_r2cfg")
 
 
 def stage_total():
@@ -200,5 +212,5 @@ if __name__ == "__main__":
     if st == "reduce":
         stage_reduce(sys.argv[2] if len(sys.argv) > 2 else "ride")
     else:
-        {"fwd": stage_fwd, "total": stage_total, "rast": stage_rast,
-         "params": stage_params}[st]()
+        {"fwd": stage_fwd, "fwd_r2": stage_fwd_r2, "total": stage_total,
+         "rast": stage_rast, "params": stage_params}[st]()

@@ -187,8 +187,8 @@ def save_png(img_chw, path):
     Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(path)
 
 
-def stage_gen(root, quick):
-    jax = _jax("cpu" if quick else None)
+def stage_gen(root, quick, platform=None):
+    jax = _jax(platform or ("cpu" if quick else None))
     from luisacomputegaussiansplatting_tpu.config import RenderConfig
     from luisacomputegaussiansplatting_tpu.io.ply import load_ply, save_ply
 
@@ -247,7 +247,7 @@ def stage_gen(root, quick):
     print("gen ok", file=sys.stderr)
 
 
-def stage_train(root, quick):
+def stage_train(root, quick, platform=None):
     from luisacomputegaussiansplatting_tpu.apps.train_cli import main as train_main
 
     argv = [
@@ -263,14 +263,14 @@ def stage_train(root, quick):
         "--out", os.path.join(root, "fit"),
         "--log-every", "50",
     ]
-    if quick:
-        argv += ["--platform", "cpu"]
+    if platform or quick:
+        argv += ["--platform", platform or "cpu"]
     train_main(argv)
     report(root, "train", {"train_argv": argv})
 
 
-def stage_eval(root, quick):
-    jax = _jax("cpu" if quick else None)
+def stage_eval(root, quick, platform=None):
+    jax = _jax(platform or ("cpu" if quick else None))
     from luisacomputegaussiansplatting_tpu.config import RenderConfig
     from luisacomputegaussiansplatting_tpu.io.ply import load_ply
     from luisacomputegaussiansplatting_tpu.models.losses import psnr, ssim
@@ -321,7 +321,9 @@ if __name__ == "__main__":
     ap.add_argument("stage", choices=["gen", "train", "eval"])
     ap.add_argument("--root", default="/tmp/proofscene")
     ap.add_argument("--quick", action="store_true", help="tiny CPU run")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu) at full scale")
     a = ap.parse_args()
     {"gen": stage_gen, "train": stage_train, "eval": stage_eval}[a.stage](
-        a.root, a.quick
+        a.root, a.quick, a.platform
     )

@@ -381,3 +381,34 @@ def test_fused_sort_fallback_huge_grid():
     t_2, g_2 = _sort_entries(tile, depth, gid, num_tiles, "2key")
     np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_2))
     np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_2))
+
+
+@pytest.mark.parametrize("sw", [(1024, 512), (2048, 512), (1024, 1024)])
+def test_pallas_expansion_chunk_sizes_exact(sw):
+    """The (s, w) grid-chunking knobs are pure scheduling: any setting
+    must reproduce the default expansion (incl. the in-kernel ellipse
+    cull) bit-exactly."""
+    from luisacomputegaussiansplatting_tpu.ops.expand_pallas import (
+        expand_entries_pallas,
+    )
+
+    s, w = sw
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(96, seed=11, scale_range=(0.02, 0.3))
+    cfg = RenderConfig()
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam, cfg,
+                             opacities=scene.opacities)
+    gx, gy = tile_grid(cam.width, cam.height)
+    nt = gx * gy
+
+    ref = expand_entries_pallas(
+        proj, gx, nt, 3000, scene.opacities, interpret=True
+    )
+    got = expand_entries_pallas(
+        proj, gx, nt, 3000, scene.opacities, interpret=True, s=s, w=w
+    )
+    for a, b, name in zip(ref, got, ("tile", "depth", "gid", "total")):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"s={s} w={w} {name}"
+        )
