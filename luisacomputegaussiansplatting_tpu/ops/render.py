@@ -73,22 +73,29 @@ def _pack_table7(table):
     return jnp.stack(cols, axis=1)
 
 
-def _unpack_rows7(rows_t):
-    """(7, capacity) int32 -> FIELDS f32 rows (inverse of _pack_table7)."""
+def _unpack_rows7(rows):
+    """(capacity, 7) int32 -> (capacity, FIELDS) f32 (_pack_table7 inverse).
 
-    def f32bits(r):
-        return jax.lax.bitcast_convert_type(r, jnp.float32)
-
-    def bf16(u16):
-        return jax.lax.bitcast_convert_type(
-            u16.astype(jnp.uint16), jnp.bfloat16
-        ).astype(jnp.float32)
-
-    out = [f32bits(rows_t[i]) for i in range(5)]
-    for i in (5, 6):
-        out.append(bf16(rows_t[i] >> 16))
-        out.append(bf16(rows_t[i] & 0xFFFF))
-    return out
+    ALL unpack work stays in gather-row space (elementwise bitcasts +
+    one column-slice concat, which XLA fuses into a single kLoop pass);
+    the caller does ONE wholesale transpose afterwards — the same shape
+    discipline as the f32 path. Slicing per-field rows out of a
+    logically-transposed view instead made XLA rematerialize the full
+    (7, capacity) transpose+copy once per field: 9x 10.9 MB relayouts
+    at 390K capacity, ~3 GB of spurious traffic at the 10.6M
+    north-star capacity (why round-3's isolated gather win did not
+    compose into the frame)."""
+    f32c = jax.lax.bitcast_convert_type(rows, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (rows >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        rows.astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return jnp.concatenate(
+        [f32c[:, 0:5], hi[:, 5:6], lo[:, 5:6], hi[:, 6:7], lo[:, 6:7]],
+        axis=1,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -116,8 +123,8 @@ def gather_payload(table, entry_gid, n_rows: int, reduce_dtype: str = "f32",
         packed = _pack_table7(table)  # (N, 7) int32
         rows = jnp.take(packed, safe, axis=0)  # (capacity, 7)
         rows = jnp.where(valid[:, None], rows, 0)
-        fields = _unpack_rows7(list(rows.T))
-        return jnp.concatenate([jnp.stack(fields, axis=0), pad], axis=0)
+        fields = _unpack_rows7(rows)  # (capacity, FIELDS) f32
+        return jnp.concatenate([fields.T, pad], axis=0)
     if payload_dtype != "f32":
         raise ValueError(f"unknown payload_dtype: {payload_dtype!r}")
     rows = jnp.take(table, safe, axis=0)  # (capacity, FIELDS)
