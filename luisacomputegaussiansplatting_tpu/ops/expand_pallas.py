@@ -122,16 +122,26 @@ def _expand_kernel(
         # interval membership: each slot claimed by at most one row
         # (intervals are disjoint; zero-extent rows claim nothing)
         sel = jnp.logical_and(rel_start <= i_slot, i_slot < rel_end).astype(
-            jnp.float32
+            jnp.bfloat16
         )
-        # (nf, W) @ (W, S) contraction on the MXU = the row "gather"
-        vals = vals + jax.lax.dot_general(
-            cur,
-            sel,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (nf, S)
+        # (nf, W) @ (W, S) contraction on the MXU = the row "gather".
+        # sel is EXACTLY {0, 1} so only the table side needs splitting:
+        # three bf16 terms of disjoint mantissa ranges re-sum exactly in
+        # the f32 accumulator (each slot selects exactly one row, so no
+        # cross-row accumulation blurs the reconstruction). Manual
+        # one-side split = 3 MXU passes; Precision.HIGHEST would split
+        # BOTH operands for 6.
+        t0 = cur.astype(jnp.bfloat16)
+        r1 = cur - t0.astype(jnp.float32)
+        t1 = r1.astype(jnp.bfloat16)
+        t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+        for t in (t0, t1, t2):
+            vals = vals + jax.lax.dot_general(
+                t,
+                sel,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (nf, S)
         return vals
 
     vals = jax.lax.fori_loop(
