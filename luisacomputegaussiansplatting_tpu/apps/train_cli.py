@@ -61,6 +61,11 @@ def build_parser():
                    help="payload-gather precision (see render_cli --payload)")
     p.add_argument("--sort", choices=["2key", "fused"], default="2key",
                    help="entry-sort key layout (see render_cli --sort)")
+    p.add_argument("--grad-reduce", choices=["ride", "rowgather"],
+                   default="ride",
+                   help="backward gradient-row movement: operands riding "
+                        "the reduce sort, or a 2-operand sort + one packed "
+                        "row gather (see RenderConfig.grad_reduce_method)")
     p.add_argument("--tight-radius", action="store_true",
                    help="exact alpha_min splat radii (see render_cli)")
     p.add_argument("--sh-degree", type=int, default=3)
@@ -244,6 +249,7 @@ def main(argv=None):
     cfg = RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
                        tile_h=args.tile_h, pack_mode=args.pack,
                        payload_dtype=args.payload, sort_mode=args.sort,
+                       grad_reduce_method=args.grad_reduce,
                        tight_radius=args.tight_radius)
     scfg = None
     pad_targets_fn = None
@@ -426,6 +432,8 @@ def main(argv=None):
 
     if bool(ov_acc):
         grow_capacity()  # report the tail-interval overflow loudly
+    if args.iters > start_iter:
+        last_loss = float(loss)  # one sync; covers runs shorter than log_every
 
     # ---- export ---------------------------------------------------------
     scene = jax.jit(lambda p: p.activate())(state.params)

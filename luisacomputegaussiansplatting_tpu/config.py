@@ -139,6 +139,15 @@ class RenderConfig:
     #: sort; ~2^-9 relative per-entry rounding, far below SGD gradient
     #: noise; per-gaussian sums stay f32).
     grad_reduce_dtype: str = "f32"
+    #: how the per-entry gradient rows travel to the reduction kernel:
+    #: "ride" (rows ride the reduce sort as lax.sort operands) or
+    #: "rowgather" (sort only (gid, iota) — a 2-operand unstable sort —
+    #: then move all rows in ONE packed row gather at the sorted
+    #: positions). lax.sort cost grows super-linearly in operand count
+    #: on TPU while row gathers cost ~per row, so rowgather wins when
+    #: cols is large; results identical up to intra-segment float
+    #: association (see ops.segsum.reduce_fields_by_id).
+    grad_reduce_method: str = "ride"
     #: shrink each splat's pixel radius from the fixed radius_sigma
     #: (reference 3 sigma, shader.cpp:139-148) to the exact alpha_min
     #: reach sqrt(2 ln(opacity/alpha_min)) sigma (clamped to

@@ -98,9 +98,9 @@ def _unpack_rows7(rows):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def gather_payload(table, entry_gid, n_rows: int, reduce_dtype: str = "f32",
-                   payload_dtype: str = "f32"):
+                   payload_dtype: str = "f32", reduce_method: str = "ride"):
     """(N, FIELDS) table + (capacity,) gid -> (FIELDS, capacity) payload.
 
     One fused row gather instead of one gather per field: XLA TPU gathers
@@ -134,16 +134,20 @@ def gather_payload(table, entry_gid, n_rows: int, reduce_dtype: str = "f32",
 
 def _gather_payload_fwd(table, entry_gid, n_rows: int,
                         reduce_dtype: str = "f32",
-                        payload_dtype: str = "f32"):
+                        payload_dtype: str = "f32",
+                        reduce_method: str = "ride"):
     return (
-        gather_payload(table, entry_gid, n_rows, reduce_dtype, payload_dtype),
+        gather_payload(table, entry_gid, n_rows, reduce_dtype, payload_dtype,
+                       reduce_method),
         entry_gid,
     )
 
 
-def _gather_payload_bwd(n_rows, reduce_dtype, payload_dtype, entry_gid, d_payload):
-    # field-major reduction: d_payload's field rows ride the sort as
-    # lax.sort operands, skipping a 13M-row gather and a transpose
+def _gather_payload_bwd(n_rows, reduce_dtype, payload_dtype, reduce_method,
+                        entry_gid, d_payload):
+    # field-major reduction: "ride" hauls d_payload's field rows through
+    # the sort as lax.sort operands; "rowgather" sorts (gid, iota) only
+    # and moves the rows in one packed row gather (segsum docstring)
     interpret = jax.default_backend() != "tpu"
     d_table = reduce_fields_by_id(
         entry_gid,
@@ -151,6 +155,7 @@ def _gather_payload_bwd(n_rows, reduce_dtype, payload_dtype, entry_gid, d_payloa
         n_rows,
         interpret=interpret,
         dtype=reduce_dtype,
+        method=reduce_method,
     )
     d_gid = np.broadcast_to(
         np.zeros((), dtype=jax.dtypes.float0), entry_gid.shape
@@ -168,6 +173,7 @@ def build_payload(
     binned: BinnedGaussians,
     reduce_dtype: str = "f32",
     payload_dtype: str = "f32",
+    reduce_method: str = "ride",
 ):
     """Gather the (FIELDS, capacity) field-major payload (differentiable).
 
@@ -175,10 +181,13 @@ def build_payload(
     VJP's reduction sort (see segsum.reduce_fields_by_id).
     payload_dtype: row width/precision of the forward gather (see
     RenderConfig.payload_dtype).
+    reduce_method: "ride" | "rowgather" row movement in the VJP's
+    reduction (see RenderConfig.grad_reduce_method).
     """
     table = payload_table(proj, colors, opacities)
     return gather_payload(
-        table, binned.entry_gid, table.shape[0], reduce_dtype, payload_dtype
+        table, binned.entry_gid, table.shape[0], reduce_dtype, payload_dtype,
+        reduce_method,
     )
 
 
@@ -253,7 +262,7 @@ def render_view(
         raise ValueError(f"unknown pack_mode: {cfg.pack_mode!r}")
     payload = build_payload(
         proj, colors, opacities, binned, cfg.grad_reduce_dtype,
-        cfg.payload_dtype,
+        cfg.payload_dtype, cfg.grad_reduce_method,
     )
 
     if cfg.rasterizer == "pallas":

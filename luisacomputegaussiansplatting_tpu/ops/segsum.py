@@ -287,19 +287,49 @@ def reduce_fields_by_id(
         sorted_key, perm = jax.lax.sort(
             (key, iota), num_keys=2, is_stable=False
         )
+        # ALL post-gather work stays in gather-row (L, k) space with ONE
+        # wholesale transpose at the end: slicing per-field (L,) columns
+        # out of the gathered rows and re-stacking them field-major makes
+        # XLA rematerialize a full transpose+copy per field (the 9x
+        # relayout measured on the payload-gather path, ops/render.py
+        # _unpack_rows7).
         if dtype == "bf16":
             packed = _pack_bf16_pairs(field_rows)
             mat = jnp.stack(packed, axis=1)  # (L, ceil(cols/2)) uint32
             sp = jnp.take(mat, perm, axis=0)
-            sorted_fields = _unpack_bf16_pairs(
-                [sp[:, i] for i in range(sp.shape[1])], cols
-            )
+            hi = jax.lax.bitcast_convert_type(
+                (sp >> 16).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            lo = jax.lax.bitcast_convert_type(
+                sp.astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            parts = []
+            for i in range(sp.shape[1]):
+                parts.append(hi[:, i : i + 1])
+                parts.append(lo[:, i : i + 1])
+            rows_lc = jnp.concatenate(parts[:cols], axis=1)  # (L, cols)
         elif dtype == "f32":
             mat = jnp.stack(field_rows, axis=1)  # (L, cols)
-            sp = jnp.take(mat, perm, axis=0)
-            sorted_fields = [sp[:, i] for i in range(cols)]
+            rows_lc = jnp.take(mat, perm, axis=0)
         else:
             raise ValueError(f"unknown reduce dtype {dtype!r}")
+        keep = sorted_key < n_out
+        n_windows = max(1, -(-n_out // E))
+        outside = jnp.float32(n_windows * E)
+        ids_f = jnp.where(keep, sorted_key.astype(jnp.float32), outside)
+        zeroed_cl = jnp.where(keep[:, None], rows_lc, 0.0).T  # (cols, L)
+        pad = jnp.zeros((_ROWS - cols - 1, L), jnp.float32)
+        table = jnp.concatenate([zeroed_cl, ids_f[None, :], pad], axis=0)
+        tail = jnp.zeros((_ROWS, E), jnp.float32).at[cols, :].set(outside)
+        table = jnp.concatenate([table, tail], axis=1)
+        precision = (
+            jax.lax.Precision.DEFAULT
+            if dtype == "bf16"
+            else jax.lax.Precision.HIGHEST
+        )
+        return _segsum_call(
+            sorted_key, table, n_out, cols, interpret, precision
+        )
     elif method == "ride":
         if dtype == "bf16":
             packed = _pack_bf16_pairs(field_rows)

@@ -169,8 +169,11 @@ def stage_reduce(method="ride"):
 
     orig = segsum.reduce_fields_by_id
 
-    def patched(gid, rows, n_out, interpret=False, dtype="f32", method_=method):
-        return orig(gid, rows, n_out, interpret, dtype, method_)
+    forced = method
+
+    def patched(gid, rows, n_out, interpret=False, dtype="f32", **kw):
+        kw.pop("method", None)  # the stage arg overrides the caller's
+        return orig(gid, rows, n_out, interpret, dtype, forced, **kw)
 
     render_mod.reduce_fields_by_id = patched
 

@@ -209,6 +209,40 @@ def test_payload_dtype_bf16_close():
         assert np.abs(gb - ga).max() / denom < 5e-2
 
 
+def test_grad_reduce_method_rowgather_matches_ride():
+    """grad_reduce_method="rowgather" (2-operand sort + one packed row
+    gather) must produce the same image (forward is untouched) and
+    gradients equal to "ride" up to intra-segment float association
+    (both sum the same per-entry rows per gaussian)."""
+    import jax
+    import jax.numpy as jnp
+
+    cam = look_at_camera((3.2, -2.8, 2.1), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=96, height=64)
+    scene = random_scene(300, seed=13, scale_range=(0.02, 0.12))
+    args = scene.render_args()
+
+    imgs, grads = {}, {}
+    for meth in ("ride", "rowgather"):
+        cfg = RenderConfig(max_pairs=60_000, grad_reduce_method=meth)
+
+        def loss(*a):
+            img, _ = render_aux(*a, cam, cfg=cfg)
+            return jnp.sum(img * img), img
+
+        (l, img), g = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
+        )(*args)
+        imgs[meth], grads[meth] = np.asarray(img), g
+
+    np.testing.assert_array_equal(imgs["ride"], imgs["rowgather"])
+    for ga, gb in zip(grads["ride"], grads["rowgather"]):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        assert np.all(np.isfinite(gb))
+        denom = np.abs(ga).max() + 1e-6
+        assert np.abs(gb - ga).max() / denom < 1e-5
+
+
 def test_tight_radius_bit_exact_and_fewer_entries():
     """tight_radius shrinks radii to the exact alpha_min reach: every
     culled entry contributes exactly zero (the blend kernel skips
