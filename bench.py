@@ -5,7 +5,14 @@ Measures pixels/s/chip for forward+backward at 1080p on synthetic scenes
 environment; scenes are tuned to comparable workloads). Two scales run:
 
   * headline: 2M gaussians / ~7.8M AABB pairs — the config every round
-    has tracked (vs_baseline is like-for-like against round 1).
+    has tracked. Caveat on vs_baseline: the denominator is round 1's
+    recorded figure, which was measured with the repeat-identical
+    timing method (10-20% flattering, BASELINE.md) on the numpy-RNG
+    scene; the numerator now uses the honest chained-dependent method
+    on the device-RNG scene (different realization, ~same pair count).
+    Both deltas BIAS vs_baseline DOWN — the printed ratio understates
+    the true improvement and is safe to gate on, but it is not strictly
+    like-for-like.
   * north_star: 6M gaussians / ~12.6M AABB pairs — the BASELINE.json
     metric's mip360_bicycle scale.
 

@@ -375,6 +375,11 @@ def load_colmap(
         right = np.cross(front, up)
         img_path = os.path.join(root, images_dir, name)
         pil = Image.open(img_path).convert("RGB")
+        if pil.height != h:
+            # pre-downscaled images_dir (e.g. mip360 images_2/images_4):
+            # the sparse model's intrinsics describe the FULL-res frames,
+            # so rescale fy to the on-disk resolution before the fov math
+            fy = fy * (pil.height / h)
         if downscale > 1:
             # filtered resize (graphdeco recipe), not strided subsampling
             # (aliases); rescale fy by the ACTUAL height ratio so the fov

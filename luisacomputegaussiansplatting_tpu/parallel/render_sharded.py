@@ -159,6 +159,19 @@ def _validate_sharded_cfg(cfg: RenderConfig, scfg: ShardedRenderConfig):
             "max_pairs_sorted is a single-chip option; sharded capacities "
             "are set via ShardedRenderConfig"
         )
+    if cfg.sort_mode != "2key":
+        raise ValueError(
+            "sort_mode is a single-chip option: the sharded path already "
+            "uses a 1-key unstable local sort + exact 3-key receiver merge "
+            "(strictly cheaper than the fused single-chip key); pass the "
+            "default '2key'"
+        )
+    if cfg.grad_reduce_method != "ride":
+        raise ValueError(
+            "grad_reduce_method is a single-chip option; the sharded "
+            "backward reduces through its own exchange path — pass the "
+            "default 'ride'"
+        )
     # cfg.payload_dtype is a single-chip gather option; the sharded path
     # always exchanges full-precision f32 payload rows (a bf16-packed
     # exchange would also halve ICI bytes — future work), so "bf16" is

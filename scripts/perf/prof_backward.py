@@ -128,16 +128,20 @@ def stage_fwd_r2():
     stage_fwd(cfg, "_r2cfg")
 
 
-def stage_total():
+def stage_total(method="ride"):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, grad_reduce_method=method)
+
     def f(salt, m):
         def loss(mm):
             img, aux = render_aux(mm, scales, quats, opac, sh, cam,
-                                  bg_color=jnp.zeros(3) + salt, cfg=CFG)
+                                  bg_color=jnp.zeros(3) + salt, cfg=cfg)
             return jnp.sum(img)
 
         return jax.grad(loss)(m)
 
-    timeit("total_fwd_bwd", f, (means,))
+    timeit(f"total_fwd_bwd[{method}]", f, (means,))
 
 
 def stage_rast():
@@ -214,6 +218,8 @@ if __name__ == "__main__":
     st = sys.argv[1]
     if st == "reduce":
         stage_reduce(sys.argv[2] if len(sys.argv) > 2 else "ride")
+    elif st == "total" and len(sys.argv) > 2:
+        stage_total(sys.argv[2])
     else:
         {"fwd": stage_fwd, "fwd_r2": stage_fwd_r2, "total": stage_total,
          "rast": stage_rast, "params": stage_params}[st]()

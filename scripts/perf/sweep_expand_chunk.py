@@ -19,7 +19,6 @@ sys.path.insert(0, "/root/repo")
 import luisacomputegaussiansplatting_tpu.ops.expand_pallas as ep
 
 S = int(sys.argv[1])
-ep.S = S
 
 from luisacomputegaussiansplatting_tpu.config import RenderConfig
 from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene_device as random_scene
@@ -49,8 +48,10 @@ proj = jax.block_until_ready(proj)
 
 
 def run(salt, pr, op):
+    # s must be passed explicitly: the old `ep.S = S` module patch was a
+    # no-op once the function gained an `s=S` default (bound at def time)
     tile_id, depth, gid, total = ep.expand_entries_pallas(
-        pr, gx, num_tiles, MAXP, op, CFG.tile_wh, CFG.alpha_min,
+        pr, gx, num_tiles, MAXP, op, CFG.tile_wh, CFG.alpha_min, s=S,
     )
     return tile_id.astype(jnp.int32).ravel()[:1], depth.ravel()[:1], total
 

@@ -187,6 +187,27 @@ def test_colmap_binary_loader(tmp_path):
     np.testing.assert_allclose(rgb[1], [0, 128 / 255, 1.0], atol=1e-7)
 
 
+def test_colmap_predownscaled_images_dir(tmp_path):
+    """mip360-style images_2/images_4 dirs hold pre-downscaled frames
+    while sparse/0 intrinsics describe FULL resolution: fy must be
+    rescaled to the on-disk resolution, keeping fov resolution-invariant
+    (graphdeco scene loader behavior)."""
+    from luisacomputegaussiansplatting_tpu.io.dataset import load_colmap
+
+    w, h, f = 32, 24, 30.0
+    _write_colmap_bin(tmp_path, w, h, f, (1, 0, 0, 0), (0, 0, -5), "img0.png")
+    (tmp_path / "images_2").mkdir()
+    _write_png(tmp_path / "images_2" / "img0.png",
+               np.full((h // 2, w // 2, 3), 80, np.uint8))
+
+    data = load_colmap(str(tmp_path), images_dir="images_2")
+    cam = data.cameras[0]
+    assert (cam.width, cam.height) == (w // 2, h // 2)
+    expect_fovy = math.degrees(2 * math.atan(0.5 * h / f))  # full-res fov
+    assert abs(cam.fov - expect_fovy) < 1e-6
+    assert data.targets[0].shape == (3, h // 2, w // 2)
+
+
 def test_colmap_bin_and_text_models_agree(tmp_path):
     """The same model written as .bin and .txt loads identically."""
     from luisacomputegaussiansplatting_tpu.io.dataset import load_colmap
