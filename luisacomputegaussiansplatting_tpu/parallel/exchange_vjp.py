@@ -1,0 +1,196 @@
+"""Scatter-free custom VJPs for the sharded exchange pipeline.
+
+The sharded renderer (render_sharded._render_shard) moves payload rows
+through four gathers: table -> sorted entries -> owner buckets ->
+(all_to_all) -> merge permutation -> packed ranges. Differentiating
+plain ``jnp.take`` turns every one of them into an XLA scatter-add on
+the backward pass — the op this framework bans (~100 ns/row on TPU;
+CLAUDE.md, ops/segsum.py). A CUDA 3DGS pays these with atomics
+(reference gs_tile_splatter/shader.cpp:26-69 scatter + backward atomics
+the reference never implemented); the TPU-native answer is that every
+one of these gathers has a *structured inverse*:
+
+  * table rows by gaussian id  -> sort+segment-sum reduction
+    (ops.segsum.reduce_rows_by_id — ids repeat, a true reduction);
+  * contiguous bucket slices   -> the inverse map position->bucket is a
+    searchsorted + one row gather (slices are disjoint and contiguous);
+  * a merge permutation        -> the inverse permutation, recovered by
+    one cheap 2-operand unstable sort, then one row gather;
+  * chunk-packed range slots   -> slot(entry) is closed-form from the
+    per-tile range/pad starts, again one row gather.
+
+So the ENTIRE sharded backward moves gradients with sorts and row
+gathers only — zero scatter ops in the compiled HLO (asserted by
+tests/test_sharding.py::test_sharded_backward_has_no_scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _int_zero_cotangent(x):
+    return np.broadcast_to(np.zeros((), dtype=jax.dtypes.float0), x.shape)
+
+
+# ---------------------------------------------------------------------------
+# table rows by (repeating) gaussian id: VJP is a segment-sum reduction
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def take_table_rows(table, gid):
+    """(N, F) table + (L,) gid in [-1, N) -> (L, F); gid<0 rows are 0.
+
+    VJP: d_table = reduce_rows_by_id(gid, d_rows) — the sorted
+    segment-sum, not scatter-add.
+    """
+    safe = jnp.maximum(gid, 0)
+    return jnp.where(gid[:, None] >= 0, jnp.take(table, safe, axis=0), 0.0)
+
+
+def _take_table_fwd(table, gid):
+    return take_table_rows(table, gid), (gid, table.shape[0])
+
+
+def _take_table_bwd(res, d_rows):
+    from ..ops.segsum import reduce_rows_by_id
+
+    gid, n = res
+    interpret = jax.default_backend() != "tpu"
+    d_table = reduce_rows_by_id(gid, d_rows, n, interpret=interpret)
+    return d_table, _int_zero_cotangent(gid)
+
+
+take_table_rows.defvjp(_take_table_fwd, _take_table_bwd)
+
+
+# ---------------------------------------------------------------------------
+# disjoint contiguous bucket slices: VJP is searchsorted + one gather
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def slice_buckets(rows, cuts, bcap: int):
+    """(L, F) rows + (ndev+1,) cuts -> (ndev, bcap, F) bucket slices.
+
+    Bucket d holds rows[cuts[d] : cuts[d+1]] (zero-padded / truncated to
+    bcap). Rows at positions >= cuts[-1] belong to no bucket.
+
+    VJP: position i lives in bucket o(i) = searchsorted(cuts, i,
+    'right')-1 at offset b = i - cuts[o], so d_rows is ONE row gather of
+    the flattened cotangent — buckets are disjoint, nothing accumulates.
+    """
+    ndev = cuts.shape[0] - 1
+    l_loc = rows.shape[0]
+    j = jnp.arange(bcap, dtype=jnp.int32)[None, :]
+    start = cuts[:-1]
+    blen = cuts[1:] - start
+    src = jnp.clip(start[:, None] + j, 0, l_loc - 1)
+    valid = j < jnp.minimum(blen, bcap)[:, None]
+    return jnp.where(valid[..., None], jnp.take(rows, src, axis=0), 0.0)
+
+
+def _slice_buckets_fwd(rows, cuts, bcap):
+    return slice_buckets(rows, cuts, bcap), (cuts, rows.shape[0])
+
+
+def _slice_buckets_bwd(bcap, res, d_send):
+    cuts, l_loc = res
+    ndev = cuts.shape[0] - 1
+    i = jnp.arange(l_loc, dtype=jnp.int32)
+    o = jnp.clip(
+        jnp.searchsorted(cuts, i, side="right").astype(jnp.int32) - 1,
+        0,
+        ndev - 1,
+    )
+    b = i - jnp.take(cuts, o)
+    valid = (b >= 0) & (b < bcap) & (i < jnp.take(cuts, o + 1))
+    flat = d_send.reshape(ndev * bcap, d_send.shape[-1])
+    idx = jnp.clip(o * bcap + b, 0, ndev * bcap - 1)
+    d_rows = jnp.where(valid[:, None], jnp.take(flat, idx, axis=0), 0.0)
+    return d_rows, _int_zero_cotangent(cuts)
+
+
+slice_buckets.defvjp(_slice_buckets_fwd, _slice_buckets_bwd)
+
+
+# ---------------------------------------------------------------------------
+# permutation: VJP recovers the inverse permutation with one cheap sort
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def permute_rows(rows, perm):
+    """(M, F) rows + (M,) permutation -> rows[perm].
+
+    VJP: d_rows = d_out[invperm] where invperm = values of one
+    2-operand unstable sort of (perm, iota) — perm is unique, so the
+    unstable network is exact and ~an order cheaper than hauling F
+    payload operands through a sort (or scattering).
+    """
+    return jnp.take(rows, perm, axis=0)
+
+
+def _permute_rows_fwd(rows, perm):
+    return permute_rows(rows, perm), perm
+
+
+def _permute_rows_bwd(perm, d_out):
+    m = perm.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    _, invperm = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
+    d_rows = jnp.take(d_out, invperm, axis=0)
+    return d_rows, _int_zero_cotangent(perm)
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+# ---------------------------------------------------------------------------
+# chunk-packed range slots: VJP is the closed-form slot(entry) gather
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def pack_gather(rows, src, in_range, slot_of_entry):
+    """(M, F) rows -> (capacity, F) packed slots (ops.binning.pack_ranges).
+
+    src/in_range come from pack_ranges; slot_of_entry is the closed-form
+    inverse (entry k of tile t sits at padded_start[t] + rank within the
+    tile; entries outside every range pass a sentinel >= capacity).
+
+    VJP: d_rows = d_cols[slot_of_entry] — pack_ranges assigns each
+    in-range entry exactly one slot, so the inverse is one row gather.
+    """
+    return jnp.where(
+        in_range[:, None], jnp.take(rows, src, axis=0), 0.0
+    )
+
+
+def _pack_gather_fwd(rows, src, in_range, slot_of_entry):
+    return (
+        pack_gather(rows, src, in_range, slot_of_entry),
+        (src, in_range, slot_of_entry),
+    )
+
+
+def _pack_gather_bwd(res, d_cols):
+    src, in_range, slot_of_entry = res
+    cap = d_cols.shape[0]
+    valid = slot_of_entry < cap
+    idx = jnp.clip(slot_of_entry, 0, cap - 1)
+    d_rows = jnp.where(valid[:, None], jnp.take(d_cols, idx, axis=0), 0.0)
+    return (
+        d_rows,
+        _int_zero_cotangent(src),
+        _int_zero_cotangent(in_range),
+        _int_zero_cotangent(slot_of_entry),
+    )
+
+
+pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)

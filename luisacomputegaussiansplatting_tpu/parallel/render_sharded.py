@@ -242,13 +242,18 @@ def _render_shard(
     # exactly like the single-chip stable sort. One fused row gather from
     # the packed per-gaussian table (see ops.render.gather_payload).
     from ..ops.render import payload_table
+    from .exchange_vjp import (
+        take_table_rows, slice_buckets, permute_rows, pack_gather,
+    )
 
-    safe = jnp.maximum(sorted_gid, 0)
     valid = sorted_gid >= 0
     table = payload_table(proj, colors, opacities)  # (P_shard, FIELDS)
-    pf = jnp.where(
-        valid[:, None], jnp.take(table, safe, axis=0), 0.0
-    )  # (L, FIELDS)
+    # custom VJP: the gradient reduction back to the table is a sorted
+    # segment-sum, not XLA scatter-add (parallel/exchange_vjp.py)
+    pf = take_table_rows(table, sorted_gid)  # (L, FIELDS)
+    # blend ORDER is non-differentiable (standard 3DGS); cut the depth
+    # tangent path so the merge sort below never enters the VJP graph
+    sorted_depth = jax.lax.stop_gradient(sorted_depth)
     gid_global = jnp.where(valid, sorted_gid + dev * p_shard, -1)
 
     # ---- bucket by owner chip ------------------------------------------
@@ -264,9 +269,9 @@ def _render_shard(
     bucket_valid = j < owner_len[:, None]
     src_idx = jnp.clip(src_idx, 0, l_loc - 1)
 
-    send_pf = jnp.where(
-        bucket_valid[..., None], jnp.take(pf, src_idx, axis=0), 0.0
-    )  # (ndev, B, 9)
+    # custom VJP: buckets are disjoint contiguous slices, so the payload
+    # gradient comes back via searchsorted + one row gather — no scatter
+    send_pf = slice_buckets(pf, cuts, bcap)  # (ndev, B, 9)
     send_tile = jnp.where(bucket_valid, jnp.take(sorted_tile, src_idx), -1)
     send_gid = jnp.where(bucket_valid, jnp.take(gid_global, src_idx), -1)
     send_depth = jnp.where(
@@ -296,16 +301,30 @@ def _render_shard(
     s_ltile, _sd, _sg, perm = jax.lax.sort(
         (ltile, recv_depth, recv_gid_key, idx0), num_keys=3, is_stable=False
     )
-    s_pf = jnp.take(recv_pf, perm, axis=0)
+    # custom VJP: the inverse permutation (one cheap 2-operand sort +
+    # one row gather) replaces the take-VJP scatter
+    s_pf = permute_rows(recv_pf, perm)
 
     if cfg.pack_mode == "chunk":
         cap_loc = _round_up(ndev * bcap + tiles_per_dev * CHUNK, CHUNK)
         src, in_range, _slot_tile, starts, counts = pack_ranges(
             s_ltile, tiles_per_dev, cap_loc
         )
-        cols = jnp.where(
-            in_range[:, None], jnp.take(s_pf, src, axis=0), 0.0
-        )  # (cap_loc, FIELDS)
+        # closed-form inverse slot of each sorted entry: entry k of tile
+        # t sits at padded_start[t] + (k - range_start[t]); sentinel-tile
+        # entries (>= tiles_per_dev) map past cap_loc -> zero gradient
+        tids = jnp.arange(tiles_per_dev, dtype=jnp.int32)
+        range_start = jnp.searchsorted(s_ltile, tids, side="left").astype(
+            jnp.int32
+        )
+        k = jnp.arange(s_ltile.shape[0], dtype=jnp.int32)
+        t_safe = jnp.clip(s_ltile, 0, tiles_per_dev - 1)
+        slot_of_entry = jnp.where(
+            s_ltile < tiles_per_dev,
+            jnp.take(starts, t_safe) + (k - jnp.take(range_start, t_safe)),
+            cap_loc,
+        )
+        cols = pack_gather(s_pf, src, in_range, slot_of_entry)
     else:  # "none": raw sorted ranges + CHUNK tail pad for aligned over-reads
         tids = jnp.arange(tiles_per_dev, dtype=jnp.int32)
         starts = jnp.searchsorted(s_ltile, tids, side="left").astype(jnp.int32)

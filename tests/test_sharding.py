@@ -124,6 +124,36 @@ def test_sharded_grads_match_single(scene):
         np.testing.assert_allclose(a / scale, b / scale, atol=3e-4, err_msg=name)
 
 
+def test_sharded_backward_has_no_scatter(scene):
+    """The sharded backward must move gradients with sorts + row gathers
+    only: every exchange gather carries a scatter-free custom VJP
+    (parallel/exchange_vjp.py). A plain jnp.take VJP would lower to XLA
+    scatter-add (~100 ns/row on TPU, the op this framework bans)."""
+    for pack in ("chunk", "none"):
+        cfg = RenderConfig(max_pairs=20_000, tile=32, pack_mode=pack)
+        mesh = make_mesh((8,), ("gs",))
+
+        def loss(*args):
+            img, _ = render_sharded(*args, CAM, mesh, cfg=cfg, scfg=SCFG)
+            return jnp.sum(img * img)
+
+        hlo = (
+            jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+            .lower(*scene.render_args())
+            .compile()
+            .as_text()
+        )
+        # the ban is on FLOAT scatters (gradient accumulation); the one
+        # legitimate scatter is pack_ranges' s32 scatter-max forward-fill
+        # (a tiles-sized structural op, ops/binning.py:59)
+        scatters = [
+            ln.strip()[:100]
+            for ln in hlo.splitlines()
+            if " scatter(" in ln and ("f32[" in ln or "bf16[" in ln)
+        ]
+        assert not scatters, f"pack={pack}: {scatters}"
+
+
 def test_uneven_band_split(scene):
     """Height whose tile rows don't divide the device count."""
     cam = CAM.resized(64, 48)  # 3 tile rows over 8 devices
