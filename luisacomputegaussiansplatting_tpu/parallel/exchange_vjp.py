@@ -194,3 +194,167 @@ def _pack_gather_bwd(res, d_cols):
 
 
 pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+# bf16-packed exchange: the whole table -> packed-columns pipeline as ONE
+# differentiable unit (cotangents cannot flow through int32 intermediates,
+# so the packed path cannot reuse the per-op VJPs above)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_inverse(cuts, l_loc: int, bcap: int):
+    """Position i -> (flat bucket slot, valid): the inverse of disjoint
+    contiguous bucket slicing (see slice_buckets)."""
+    ndev = cuts.shape[0] - 1
+    i = jnp.arange(l_loc, dtype=jnp.int32)
+    o = jnp.clip(
+        jnp.searchsorted(cuts, i, side="right").astype(jnp.int32) - 1,
+        0,
+        ndev - 1,
+    )
+    b = i - jnp.take(cuts, o)
+    valid = (b >= 0) & (b < bcap) & (i < jnp.take(cuts, o + 1))
+    idx = jnp.clip(o * bcap + b, 0, ndev * bcap - 1)
+    return idx, valid
+
+
+def _invperm(perm):
+    m = perm.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    _, inv = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
+    return inv
+
+
+def _pack_rows_bf16(rows):
+    """(M, 2k or 2k-1) f32 -> (M, k) int32 bf16 pairs, row-space."""
+    cols = rows.shape[1]
+    if cols % 2:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((rows.shape[0], 1), rows.dtype)], axis=1
+        )
+
+    def u(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.int32)
+
+    return (u(rows[:, 0::2]) << 16) | u(rows[:, 1::2])
+
+
+def _unpack_rows_bf16(packed, cols: int):
+    """(M, k) int32 -> (M, cols) f32, inverse of _pack_rows_bf16.
+    Row-space throughout (one fused kLoop; see ops.render._unpack_rows7)."""
+    hi = jax.lax.bitcast_convert_type(
+        (packed >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        packed.astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    parts = []
+    for i in range(packed.shape[1]):
+        parts.append(hi[:, i : i + 1])
+        parts.append(lo[:, i : i + 1])
+    return jnp.concatenate(parts[:cols], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def exchange_rows_packed(table, idx, perm, bcap: int, axis: str,
+                         pack_mode: str, grad_dtype: str = "f32"):
+    """bf16-packed sharded payload exchange (cfg.payload_dtype="bf16").
+
+    Forward: pack the (P, 9) f32 table into 7 int32 columns
+    (mean/conic keep f32 bits, opacity+rgb ride as bf16 pairs —
+    ops.render._pack_table7, same rounding as the single-chip bf16
+    gather), move the PACKED rows through gather -> bucket slices ->
+    all_to_all -> merge permutation -> range slots, and unpack to
+    (capacity, 9) f32 at the very end. ICI payload bytes: 36 -> 28 per
+    entry (-22%); with grad_dtype="bf16" the reverse (cotangent)
+    exchange packs 9 f32 rows into 5 int32 (-44%).
+
+    idx: (sorted_gid, cuts) + (src, in_range, slot_of_entry) for
+    pack_mode="chunk" (ints; zero cotangents).
+
+    Backward: the same route inverted — closed-form slot/permutation/
+    bucket inverses (one row gather each), the self-adjoint all_to_all,
+    then the sorted segment-sum back to the table. No scatter ops.
+    """
+    from ..ops.render import _pack_table7, _unpack_rows7
+
+    sorted_gid, cuts, *pidx = idx
+    packed = _pack_table7(table)  # (P, 7) int32
+    safe = jnp.maximum(sorted_gid, 0)
+    rows = jnp.where(
+        sorted_gid[:, None] >= 0, jnp.take(packed, safe, axis=0), 0
+    )  # (L, 7)
+    ndev = cuts.shape[0] - 1
+    l_loc = rows.shape[0]
+    j = jnp.arange(bcap, dtype=jnp.int32)[None, :]
+    start = cuts[:-1]
+    blen = cuts[1:] - start
+    src_b = jnp.clip(start[:, None] + j, 0, l_loc - 1)
+    bvalid = j < jnp.minimum(blen, bcap)[:, None]
+    send = jnp.where(bvalid[..., None], jnp.take(rows, src_b, axis=0), 0)
+    recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+    s_rows = jnp.take(recv.reshape(ndev * bcap, 7), perm, axis=0)
+    if pack_mode == "chunk":
+        src, in_range, _slot = pidx
+        cols7 = jnp.where(
+            in_range[:, None], jnp.take(s_rows, src, axis=0), 0
+        )
+    else:
+        from ..ops.binning import CHUNK
+
+        cols7 = jnp.concatenate(
+            [s_rows, jnp.zeros((CHUNK, 7), jnp.int32)], axis=0
+        )
+    return _unpack_rows7(cols7)  # (capacity, 9) f32
+
+
+def _exchange_packed_fwd(table, idx, perm, bcap, axis, pack_mode,
+                         grad_dtype="f32"):
+    out = exchange_rows_packed(table, idx, perm, bcap, axis, pack_mode,
+                               grad_dtype)
+    return out, (idx, perm, table.shape[0])
+
+
+def _exchange_packed_bwd(bcap, axis, pack_mode, grad_dtype, res, d_cols):
+    from ..ops.segsum import reduce_rows_by_id
+
+    idx, perm, n_rows = res
+    sorted_gid, cuts, *pidx = idx
+    m = perm.shape[0]
+    if pack_mode == "chunk":
+        _src, _in_range, slot_of_entry = pidx
+        cap = d_cols.shape[0]
+        svalid = slot_of_entry < cap
+        sidx = jnp.clip(slot_of_entry, 0, cap - 1)
+        d_s = jnp.where(
+            svalid[:, None], jnp.take(d_cols, sidx, axis=0), 0.0
+        )  # (M, 9)
+    else:
+        d_s = d_cols[:m]
+    d_recv = jnp.take(d_s, _invperm(perm), axis=0)  # (M, 9)
+    ndev = cuts.shape[0] - 1
+    if grad_dtype == "bf16":
+        # pack the reverse-ICI leg; the reduction itself stays f32
+        d_recv_w = _pack_rows_bf16(d_recv).reshape(ndev, bcap, 5)
+        d_send = jax.lax.all_to_all(d_recv_w, axis, 0, 0, tiled=False)
+        d_send = _unpack_rows_bf16(d_send.reshape(ndev * bcap, 5), 9)
+    else:
+        d_recv_w = d_recv.reshape(ndev, bcap, 9)
+        d_send = jax.lax.all_to_all(d_recv_w, axis, 0, 0, tiled=False)
+        d_send = d_send.reshape(ndev * bcap, 9)
+    l_loc = sorted_gid.shape[0]
+    inv_idx, inv_valid = _bucket_inverse(cuts, l_loc, bcap)
+    d_pf = jnp.where(
+        inv_valid[:, None], jnp.take(d_send, inv_idx, axis=0), 0.0
+    )  # (L, 9)
+    interpret = jax.default_backend() != "tpu"
+    d_table = reduce_rows_by_id(sorted_gid, d_pf, n_rows,
+                                interpret=interpret)
+    d_idx = tuple(_int_zero_cotangent(x) for x in idx)
+    return d_table, d_idx, _int_zero_cotangent(perm)
+
+
+exchange_rows_packed.defvjp(_exchange_packed_fwd, _exchange_packed_bwd)

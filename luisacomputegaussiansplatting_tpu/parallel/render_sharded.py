@@ -172,10 +172,12 @@ def _validate_sharded_cfg(cfg: RenderConfig, scfg: ShardedRenderConfig):
             "backward reduces through its own exchange path — pass the "
             "default 'ride'"
         )
-    # cfg.payload_dtype is a single-chip gather option; the sharded path
-    # always exchanges full-precision f32 payload rows (a bf16-packed
-    # exchange would also halve ICI bytes — future work), so "bf16" is
-    # accepted and ignored rather than rejected: the result is exact.
+    # cfg.payload_dtype="bf16" moves the payload through the exchange
+    # packed as 7 int32 columns (-22% ICI payload bytes; same
+    # opacity/rgb rounding as the single-chip bf16 gather) via the
+    # composite custom VJP in parallel/exchange_vjp.py; with
+    # grad_reduce_dtype="bf16" the reverse (cotangent) exchange is
+    # bf16-packed too (-44%), while the reduction itself stays f32.
 
 
 def _render_shard(
@@ -244,13 +246,20 @@ def _render_shard(
     from ..ops.render import payload_table
     from .exchange_vjp import (
         take_table_rows, slice_buckets, permute_rows, pack_gather,
+        exchange_rows_packed,
     )
 
     valid = sorted_gid >= 0
     table = payload_table(proj, colors, opacities)  # (P_shard, FIELDS)
-    # custom VJP: the gradient reduction back to the table is a sorted
-    # segment-sum, not XLA scatter-add (parallel/exchange_vjp.py)
-    pf = take_table_rows(table, sorted_gid)  # (L, FIELDS)
+    # "bf16" moves the payload through the whole exchange PACKED as 7
+    # int32 columns (-22% ICI payload bytes; same opacity/rgb rounding
+    # as the single-chip bf16 gather) — one composite custom VJP, since
+    # cotangents cannot flow through int32 intermediates
+    use_packed = cfg.payload_dtype == "bf16"
+    if not use_packed:
+        # custom VJP: the gradient reduction back to the table is a
+        # sorted segment-sum, not XLA scatter-add (parallel/exchange_vjp)
+        pf = take_table_rows(table, sorted_gid)  # (L, FIELDS)
     # blend ORDER is non-differentiable (standard 3DGS); cut the depth
     # tangent path so the merge sort below never enters the VJP graph
     sorted_depth = jax.lax.stop_gradient(sorted_depth)
@@ -271,7 +280,8 @@ def _render_shard(
 
     # custom VJP: buckets are disjoint contiguous slices, so the payload
     # gradient comes back via searchsorted + one row gather — no scatter
-    send_pf = slice_buckets(pf, cuts, bcap)  # (ndev, B, 9)
+    if not use_packed:
+        send_pf = slice_buckets(pf, cuts, bcap)  # (ndev, B, 9)
     send_tile = jnp.where(bucket_valid, jnp.take(sorted_tile, src_idx), -1)
     send_gid = jnp.where(bucket_valid, jnp.take(gid_global, src_idx), -1)
     send_depth = jnp.where(
@@ -280,11 +290,12 @@ def _render_shard(
     send_meta = jnp.stack([send_tile, send_gid], axis=-1)  # (ndev, B, 2) i32
 
     # ---- the collective: one all-to-all over ICI ------------------------
-    recv_pf = jax.lax.all_to_all(send_pf, axis, 0, 0, tiled=False)
+    if not use_packed:
+        recv_pf = jax.lax.all_to_all(send_pf, axis, 0, 0, tiled=False)
+        recv_pf = recv_pf.reshape(ndev * bcap, 9)
     recv_depth = jax.lax.all_to_all(send_depth, axis, 0, 0, tiled=False)
     recv_meta = jax.lax.all_to_all(send_meta, axis, 0, 0, tiled=False)
 
-    recv_pf = recv_pf.reshape(ndev * bcap, 9)
     recv_depth = recv_depth.reshape(ndev * bcap)
     recv_tile = recv_meta[..., 0].reshape(ndev * bcap)
     recv_gid = recv_meta[..., 1].reshape(ndev * bcap)
@@ -303,7 +314,8 @@ def _render_shard(
     )
     # custom VJP: the inverse permutation (one cheap 2-operand sort +
     # one row gather) replaces the take-VJP scatter
-    s_pf = permute_rows(recv_pf, perm)
+    if not use_packed:
+        s_pf = permute_rows(recv_pf, perm)
 
     if cfg.pack_mode == "chunk":
         cap_loc = _round_up(ndev * bcap + tiles_per_dev * CHUNK, CHUNK)
@@ -324,15 +336,27 @@ def _render_shard(
             jnp.take(starts, t_safe) + (k - jnp.take(range_start, t_safe)),
             cap_loc,
         )
-        cols = pack_gather(s_pf, src, in_range, slot_of_entry)
+        if use_packed:
+            cols = exchange_rows_packed(
+                table, (sorted_gid, cuts, src, in_range, slot_of_entry),
+                perm, bcap, axis, "chunk", cfg.grad_reduce_dtype,
+            )
+        else:
+            cols = pack_gather(s_pf, src, in_range, slot_of_entry)
     else:  # "none": raw sorted ranges + CHUNK tail pad for aligned over-reads
         tids = jnp.arange(tiles_per_dev, dtype=jnp.int32)
         starts = jnp.searchsorted(s_ltile, tids, side="left").astype(jnp.int32)
         ends = jnp.searchsorted(s_ltile, tids, side="right").astype(jnp.int32)
         counts = ends - starts
-        cols = jnp.concatenate(
-            [s_pf, jnp.zeros((CHUNK, FIELDS), jnp.float32)], axis=0
-        )
+        if use_packed:
+            cols = exchange_rows_packed(
+                table, (sorted_gid, cuts), perm, bcap, axis, "none",
+                cfg.grad_reduce_dtype,
+            )
+        else:
+            cols = jnp.concatenate(
+                [s_pf, jnp.zeros((CHUNK, FIELDS), jnp.float32)], axis=0
+            )
     pad = jnp.zeros((PAYLOAD_ROWS - FIELDS, cols.shape[0]), jnp.float32)
     payload = jnp.concatenate([cols.T, pad], axis=0)
 

@@ -124,6 +124,82 @@ def test_sharded_grads_match_single(scene):
         np.testing.assert_allclose(a / scale, b / scale, atol=3e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("pack", ["chunk", "none"])
+def test_sharded_bf16_exchange_matches_single_chip_bf16(scene, pack):
+    """payload_dtype="bf16" sharded: the packed ICI exchange rounds
+    opacity/rgb exactly like the single-chip bf16 gather and delivers
+    entries in the same merged order, so the images must match the
+    single-chip bf16 render; gradients (through the composite custom
+    VJP) must match the single-chip bf16 gradients."""
+    cfg = RenderConfig(max_pairs=20_000, tile=16, pack_mode=pack,
+                       payload_dtype="bf16")
+    mesh = make_mesh((8,), ("gs",))
+
+    img_s, aux = jax.jit(
+        lambda *a: render_sharded(*a, CAM, mesh, cfg=cfg, scfg=SCFG)
+    )(*scene.render_args())
+    assert not bool(aux.overflow)
+    img_1 = jax.jit(lambda *a: render(*a, CAM, cfg=cfg))(
+        *scene.render_args()
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(img_1), atol=2e-5
+    )
+
+    rng = np.random.default_rng(3)
+    wimg = jnp.asarray(
+        rng.normal(size=(3, CAM.height, CAM.width)), jnp.float32
+    )
+
+    def loss_sharded(*args):
+        img, _ = render_sharded(*args, CAM, mesh, cfg=cfg, scfg=SCFG)
+        return jnp.sum(img * wimg)
+
+    def loss_single(*args):
+        return jnp.sum(render(*args, CAM, cfg=cfg) * wimg)
+
+    g_s = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2, 3, 4)))(
+        *scene.render_args()
+    )
+    g_1 = jax.jit(jax.grad(loss_single, argnums=(0, 1, 2, 3, 4)))(
+        *scene.render_args()
+    )
+    for name, a, b in zip("msqoh", g_s, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-4,
+                                   err_msg=name)
+
+
+def test_sharded_bf16_grad_exchange_close_to_f32(scene):
+    """grad_reduce_dtype="bf16" on the packed exchange: the reverse
+    (cotangent) ICI leg rounds to bf16 pairs; gradients stay within
+    bf16 rounding of the f32-cotangent exchange."""
+    mesh = make_mesh((8,), ("gs",))
+    rng = np.random.default_rng(5)
+    wimg = jnp.asarray(
+        rng.normal(size=(3, CAM.height, CAM.width)), jnp.float32
+    )
+
+    def loss(gd):
+        cfg = RenderConfig(max_pairs=20_000, tile=32, pack_mode="none",
+                           payload_dtype="bf16", grad_reduce_dtype=gd)
+
+        def f(*args):
+            img, _ = render_sharded(*args, CAM, mesh, cfg=cfg, scfg=SCFG)
+            return jnp.sum(img * wimg)
+
+        return jax.jit(jax.grad(f, argnums=(0, 3)))(*scene.render_args())
+
+    g_f32 = loss("f32")
+    g_bf16 = loss("bf16")
+    for name, a, b in zip("mo", g_bf16, g_f32):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        scale = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 2e-2, name
+
+
 def test_sharded_backward_has_no_scatter(scene):
     """The sharded backward must move gradients with sorts + row gathers
     only: every exchange gather carries a scatter-free custom VJP
