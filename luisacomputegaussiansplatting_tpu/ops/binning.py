@@ -264,6 +264,37 @@ def pack_ranges(sorted_tile, num_tiles: int, capacity: int):
     return src, in_range, slot_tile, padded_start.astype(jnp.int32), padded_len.astype(jnp.int32)
 
 
+def pack_slot_inverse(sorted_tile, tile_starts, num_tiles: int, capacity: int):
+    """Closed-form inverse of pack_ranges' slot assignment.
+
+    Entry k of the sorted stream (owning tile t = sorted_tile[k] < num_tiles)
+    sits at slot tile_starts[t] + (k - range_start[t]) — the layout invariant
+    pack_ranges establishes above (each tile's range copied contiguously from
+    its CHUNK-aligned padded start). Entries with sentinel tiles
+    (>= num_tiles) map to ``capacity`` (past the end -> callers treat as
+    zero-gradient). Lives here so the inverse and the forward layout change
+    together; used by the sharded backward (parallel/exchange_vjp.py) to turn
+    the pack gather's VJP into one row gather instead of a scatter.
+
+    Args:
+      sorted_tile: (L,) int32 non-decreasing tile ids.
+      tile_starts: (num_tiles,) int32 — pack_ranges' padded_start output.
+
+    Returns (L,) int32 slot index, == capacity for sentinel entries.
+    """
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    range_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(
+        jnp.int32
+    )
+    k = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32)
+    t_safe = jnp.clip(sorted_tile, 0, num_tiles - 1)
+    return jnp.where(
+        sorted_tile < num_tiles,
+        jnp.take(tile_starts, t_safe) + (k - jnp.take(range_start, t_safe)),
+        capacity,
+    )
+
+
 class NoPackBinned(NamedTuple):
     """Splat entries sorted by (tile, depth) with raw (unpadded) ranges.
 

@@ -37,30 +37,62 @@ def _int_zero_cotangent(x):
     return np.broadcast_to(np.zeros((), dtype=jax.dtypes.float0), x.shape)
 
 
+def _bucket_inverse(cuts, l_loc: int, bcap: int):
+    """Position i -> (flat bucket slot, valid): the inverse of disjoint
+    contiguous bucket slicing (see _slice_rows)."""
+    ndev = cuts.shape[0] - 1
+    i = jnp.arange(l_loc, dtype=jnp.int32)
+    o = jnp.clip(
+        jnp.searchsorted(cuts, i, side="right").astype(jnp.int32) - 1,
+        0,
+        ndev - 1,
+    )
+    b = i - jnp.take(cuts, o)
+    valid = (b >= 0) & (b < bcap) & (i < jnp.take(cuts, o + 1))
+    idx = jnp.clip(o * bcap + b, 0, ndev * bcap - 1)
+    return idx, valid
+
+
+def _invperm(perm):
+    """Inverse permutation via one cheap 2-operand unstable sort (perm is
+    unique, so the unstable network is exact) — never a scatter."""
+    m = perm.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    _, inv = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
+    return inv
+
+
 # ---------------------------------------------------------------------------
 # table rows by (repeating) gaussian id: VJP is a segment-sum reduction
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def take_table_rows(table, gid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_table_rows(table, gid, grad_dtype: str = "f32"):
     """(N, F) table + (L,) gid in [-1, N) -> (L, F); gid<0 rows are 0.
 
     VJP: d_table = reduce_rows_by_id(gid, d_rows) — the sorted
-    segment-sum, not scatter-add.
+    segment-sum, not scatter-add. grad_dtype="bf16" rounds the per-entry
+    cotangent rows to bf16 first (same rounding contract as the
+    single-chip reduce_fields_by_id(dtype="bf16"); sums stay f32). On
+    this path the knob affects ROUNDING only, not bytes moved: the
+    reduction's movement is already a 2-operand sort + one row gather,
+    whose cost is per-row, not per-byte (CLAUDE.md).
     """
     safe = jnp.maximum(gid, 0)
     return jnp.where(gid[:, None] >= 0, jnp.take(table, safe, axis=0), 0.0)
 
 
-def _take_table_fwd(table, gid):
-    return take_table_rows(table, gid), (gid, table.shape[0])
+def _take_table_fwd(table, gid, grad_dtype):
+    return take_table_rows(table, gid, grad_dtype), (gid, table.shape[0])
 
 
-def _take_table_bwd(res, d_rows):
+def _take_table_bwd(grad_dtype, res, d_rows):
     from ..ops.segsum import reduce_rows_by_id
 
     gid, n = res
+    if grad_dtype == "bf16":
+        d_rows = d_rows.astype(jnp.bfloat16).astype(jnp.float32)
     interpret = jax.default_backend() != "tpu"
     d_table = reduce_rows_by_id(gid, d_rows, n, interpret=interpret)
     return d_table, _int_zero_cotangent(gid)
@@ -74,6 +106,23 @@ take_table_rows.defvjp(_take_table_fwd, _take_table_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _slice_rows(rows, cuts, bcap: int):
+    """Pure bucket-slice forward, dtype-generic (f32 payload or packed
+    int32): (L, F) rows + (ndev+1,) cuts -> (ndev, bcap, F), bucket d =
+    rows[cuts[d] : cuts[d+1]] zero-padded / truncated to bcap.
+
+    Shared by slice_buckets and exchange_rows_packed so the truncation
+    rule the backward (_bucket_inverse) must mirror is defined once."""
+    l_loc = rows.shape[0]
+    j = jnp.arange(bcap, dtype=jnp.int32)[None, :]
+    start = cuts[:-1]
+    blen = cuts[1:] - start
+    src = jnp.clip(start[:, None] + j, 0, l_loc - 1)
+    valid = j < jnp.minimum(blen, bcap)[:, None]
+    zero = jnp.zeros((), rows.dtype)
+    return jnp.where(valid[..., None], jnp.take(rows, src, axis=0), zero)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def slice_buckets(rows, cuts, bcap: int):
     """(L, F) rows + (ndev+1,) cuts -> (ndev, bcap, F) bucket slices.
@@ -85,14 +134,7 @@ def slice_buckets(rows, cuts, bcap: int):
     'right')-1 at offset b = i - cuts[o], so d_rows is ONE row gather of
     the flattened cotangent — buckets are disjoint, nothing accumulates.
     """
-    ndev = cuts.shape[0] - 1
-    l_loc = rows.shape[0]
-    j = jnp.arange(bcap, dtype=jnp.int32)[None, :]
-    start = cuts[:-1]
-    blen = cuts[1:] - start
-    src = jnp.clip(start[:, None] + j, 0, l_loc - 1)
-    valid = j < jnp.minimum(blen, bcap)[:, None]
-    return jnp.where(valid[..., None], jnp.take(rows, src, axis=0), 0.0)
+    return _slice_rows(rows, cuts, bcap)
 
 
 def _slice_buckets_fwd(rows, cuts, bcap):
@@ -102,16 +144,8 @@ def _slice_buckets_fwd(rows, cuts, bcap):
 def _slice_buckets_bwd(bcap, res, d_send):
     cuts, l_loc = res
     ndev = cuts.shape[0] - 1
-    i = jnp.arange(l_loc, dtype=jnp.int32)
-    o = jnp.clip(
-        jnp.searchsorted(cuts, i, side="right").astype(jnp.int32) - 1,
-        0,
-        ndev - 1,
-    )
-    b = i - jnp.take(cuts, o)
-    valid = (b >= 0) & (b < bcap) & (i < jnp.take(cuts, o + 1))
+    idx, valid = _bucket_inverse(cuts, l_loc, bcap)
     flat = d_send.reshape(ndev * bcap, d_send.shape[-1])
-    idx = jnp.clip(o * bcap + b, 0, ndev * bcap - 1)
     d_rows = jnp.where(valid[:, None], jnp.take(flat, idx, axis=0), 0.0)
     return d_rows, _int_zero_cotangent(cuts)
 
@@ -141,10 +175,7 @@ def _permute_rows_fwd(rows, perm):
 
 
 def _permute_rows_bwd(perm, d_out):
-    m = perm.shape[0]
-    iota = jnp.arange(m, dtype=jnp.int32)
-    _, invperm = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
-    d_rows = jnp.take(d_out, invperm, axis=0)
+    d_rows = jnp.take(d_out, _invperm(perm), axis=0)
     return d_rows, _int_zero_cotangent(perm)
 
 
@@ -203,29 +234,6 @@ pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _bucket_inverse(cuts, l_loc: int, bcap: int):
-    """Position i -> (flat bucket slot, valid): the inverse of disjoint
-    contiguous bucket slicing (see slice_buckets)."""
-    ndev = cuts.shape[0] - 1
-    i = jnp.arange(l_loc, dtype=jnp.int32)
-    o = jnp.clip(
-        jnp.searchsorted(cuts, i, side="right").astype(jnp.int32) - 1,
-        0,
-        ndev - 1,
-    )
-    b = i - jnp.take(cuts, o)
-    valid = (b >= 0) & (b < bcap) & (i < jnp.take(cuts, o + 1))
-    idx = jnp.clip(o * bcap + b, 0, ndev * bcap - 1)
-    return idx, valid
-
-
-def _invperm(perm):
-    m = perm.shape[0]
-    iota = jnp.arange(m, dtype=jnp.int32)
-    _, inv = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
-    return inv
-
-
 def _pack_rows_bf16(rows):
     """(M, 2k or 2k-1) f32 -> (M, k) int32 bf16 pairs, row-space."""
     cols = rows.shape[1]
@@ -251,11 +259,8 @@ def _unpack_rows_bf16(packed, cols: int):
     lo = jax.lax.bitcast_convert_type(
         packed.astype(jnp.uint16), jnp.bfloat16
     ).astype(jnp.float32)
-    parts = []
-    for i in range(packed.shape[1]):
-        parts.append(hi[:, i : i + 1])
-        parts.append(lo[:, i : i + 1])
-    return jnp.concatenate(parts[:cols], axis=1)
+    m = packed.shape[0]
+    return jnp.stack([hi, lo], axis=-1).reshape(m, -1)[:, :cols]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -288,13 +293,7 @@ def exchange_rows_packed(table, idx, perm, bcap: int, axis: str,
         sorted_gid[:, None] >= 0, jnp.take(packed, safe, axis=0), 0
     )  # (L, 7)
     ndev = cuts.shape[0] - 1
-    l_loc = rows.shape[0]
-    j = jnp.arange(bcap, dtype=jnp.int32)[None, :]
-    start = cuts[:-1]
-    blen = cuts[1:] - start
-    src_b = jnp.clip(start[:, None] + j, 0, l_loc - 1)
-    bvalid = j < jnp.minimum(blen, bcap)[:, None]
-    send = jnp.where(bvalid[..., None], jnp.take(rows, src_b, axis=0), 0)
+    send = _slice_rows(rows, cuts, bcap)  # (ndev, B, 7)
     recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
     s_rows = jnp.take(recv.reshape(ndev * bcap, 7), perm, axis=0)
     if pack_mode == "chunk":

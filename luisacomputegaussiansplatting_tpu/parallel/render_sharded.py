@@ -40,7 +40,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from ..config import CHUNK, RenderConfig
 from ..utils.camera import Camera, CameraView
-from ..ops.binning import expand_entries_auto, pack_ranges
+from ..ops.binning import expand_entries_auto, pack_ranges, pack_slot_inverse
 from ..ops.projection import project_gaussians, tile_grid
 from ..ops.rasterize_pallas import FIELDS, PAYLOAD_ROWS, rasterize_tiles
 from ..ops.sh_eval import compute_colors
@@ -178,6 +178,9 @@ def _validate_sharded_cfg(cfg: RenderConfig, scfg: ShardedRenderConfig):
     # composite custom VJP in parallel/exchange_vjp.py; with
     # grad_reduce_dtype="bf16" the reverse (cotangent) exchange is
     # bf16-packed too (-44%), while the reduction itself stays f32.
+    # On the f32-payload path grad_reduce_dtype="bf16" keeps the same
+    # per-entry rounding contract (applied before the table reduction)
+    # but moves no fewer bytes — its movement is already 2-operand.
 
 
 def _render_shard(
@@ -259,7 +262,9 @@ def _render_shard(
     if not use_packed:
         # custom VJP: the gradient reduction back to the table is a
         # sorted segment-sum, not XLA scatter-add (parallel/exchange_vjp)
-        pf = take_table_rows(table, sorted_gid)  # (L, FIELDS)
+        pf = take_table_rows(
+            table, sorted_gid, cfg.grad_reduce_dtype
+        )  # (L, FIELDS)
     # blend ORDER is non-differentiable (standard 3DGS); cut the depth
     # tangent path so the merge sort below never enters the VJP graph
     sorted_depth = jax.lax.stop_gradient(sorted_depth)
@@ -322,19 +327,11 @@ def _render_shard(
         src, in_range, _slot_tile, starts, counts = pack_ranges(
             s_ltile, tiles_per_dev, cap_loc
         )
-        # closed-form inverse slot of each sorted entry: entry k of tile
-        # t sits at padded_start[t] + (k - range_start[t]); sentinel-tile
-        # entries (>= tiles_per_dev) map past cap_loc -> zero gradient
-        tids = jnp.arange(tiles_per_dev, dtype=jnp.int32)
-        range_start = jnp.searchsorted(s_ltile, tids, side="left").astype(
-            jnp.int32
-        )
-        k = jnp.arange(s_ltile.shape[0], dtype=jnp.int32)
-        t_safe = jnp.clip(s_ltile, 0, tiles_per_dev - 1)
-        slot_of_entry = jnp.where(
-            s_ltile < tiles_per_dev,
-            jnp.take(starts, t_safe) + (k - jnp.take(range_start, t_safe)),
-            cap_loc,
+        # closed-form inverse slot of each sorted entry (defined next to
+        # pack_ranges so the layout invariant changes in one place);
+        # sentinel-tile entries map past cap_loc -> zero gradient
+        slot_of_entry = pack_slot_inverse(
+            s_ltile, starts, tiles_per_dev, cap_loc
         )
         if use_packed:
             cols = exchange_rows_packed(

@@ -205,8 +205,14 @@ def test_sharded_backward_has_no_scatter(scene):
     only: every exchange gather carries a scatter-free custom VJP
     (parallel/exchange_vjp.py). A plain jnp.take VJP would lower to XLA
     scatter-add (~100 ns/row on TPU, the op this framework bans)."""
-    for pack in ("chunk", "none"):
-        cfg = RenderConfig(max_pairs=20_000, tile=32, pack_mode=pack)
+    for pack, pdt, gdt in (
+        ("chunk", "f32", "f32"),
+        ("none", "f32", "bf16"),
+        ("chunk", "bf16", "bf16"),  # the packed-exchange composite VJP
+        ("none", "bf16", "f32"),
+    ):
+        cfg = RenderConfig(max_pairs=20_000, tile=32, pack_mode=pack,
+                           payload_dtype=pdt, grad_reduce_dtype=gdt)
         mesh = make_mesh((8,), ("gs",))
 
         def loss(*args):
@@ -227,7 +233,7 @@ def test_sharded_backward_has_no_scatter(scene):
             for ln in hlo.splitlines()
             if " scatter(" in ln and ("f32[" in ln or "bf16[" in ln)
         ]
-        assert not scatters, f"pack={pack}: {scatters}"
+        assert not scatters, f"pack={pack}/{pdt}/{gdt}: {scatters}"
 
 
 def test_uneven_band_split(scene):
