@@ -81,8 +81,9 @@ def build_parser():
     p.add_argument("--densify-interval", type=int, default=100)
     p.add_argument("--opacity-reset-interval", type=int, default=0,
                    help="0 disables (graphdeco: 3000)")
-    p.add_argument("--grad-threshold", type=float, default=5e-5,
-                   help="screen-space grad threshold in *pixel* units (typical 1e-5..1e-4)")
+    p.add_argument("--grad-threshold", type=float, default=2e-4,
+                   help="densify grad threshold in graphdeco's NDC-scaled "
+                        "units (their default 2e-4; resolution-independent)")
     p.add_argument("--shard", action="store_true",
                    help="multi-chip training: views data-parallel x "
                         "gaussian/tile sharding on a 2D device mesh")
@@ -391,11 +392,17 @@ def main(argv=None):
         )
         if do_densify:
             key, sub = jax.random.split(key)
-            params, opt_state, dstate, overflow = densify_fn(
+            params, opt_state, dstate, dinfo = densify_fn(
                 state.params, state.opt_state, dstate, sub
             )
             state = TrainState(params, opt_state, state.step)
-            if bool(overflow):
+            print(
+                f"[{it+1}] densify: +{int(dinfo.n_cloned)} cloned "
+                f"+{int(dinfo.n_split)} split -{int(dinfo.n_pruned)} pruned "
+                f"-> {int(dstate.num_active)} active",
+                file=sys.stderr,
+            )
+            if bool(dinfo.overflow):
                 print(f"[{it+1}] WARNING: capacity full, children dropped",
                       file=sys.stderr)
         if (

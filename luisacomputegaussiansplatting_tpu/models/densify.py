@@ -37,9 +37,10 @@ from .gaussians import GaussianParams
 class DensifyConfig:
     """graphdeco-default thresholds (their train.py / gaussian_model.py)."""
 
-    #: screen-space grad-norm threshold. graphdeco uses 2e-4 in NDC-ish
-    #: units; our probe gradient is in *pixels*, where the equivalent
-    #: threshold scales with resolution — tune per scene/loss.
+    #: screen-space grad-norm threshold, in graphdeco's NDC-scaled
+    #: units (their 2e-4 default): the trainers accumulate probe grads
+    #: through ndc_grad_norm (pixel grad x W/2, H/2), so this value is
+    #: exact graphdeco parity and resolution-independent.
     grad_threshold: float = 2e-4
     #: fraction of the scene extent below which a gaussian is "small"
     #: (cloned) rather than "large" (split).
@@ -57,6 +58,16 @@ class DensifyConfig:
     max_world_scale_frac: float = 0.1
     #: opacity ceiling applied by reset_opacity.
     reset_opacity_to: float = 0.01
+
+
+class DensifyInfo(NamedTuple):
+    """Per-round densification counters (the observability graphdeco's
+    train.py gets from its grow/prune prints)."""
+
+    overflow: jnp.ndarray  # () bool — children dropped (capacity full)
+    n_cloned: jnp.ndarray  # () int32
+    n_split: jnp.ndarray  # () int32
+    n_pruned: jnp.ndarray  # () int32 — opacity/size prunes (not split retirees)
 
 
 class DensifyState(NamedTuple):
@@ -81,16 +92,44 @@ def init_densify_state(n_active: int, capacity: int) -> DensifyState:
     )
 
 
-def accumulate_stats(state: DensifyState, probe_grad, radii) -> DensifyState:
+def ndc_grad_norm(probe_grad, width=None, height=None):
+    """||dL/d means2d|| in graphdeco's NDC-scaled units.
+
+    The probe gradient (ops/projection.py means2d_probe) is in PIXEL
+    units; graphdeco's densify threshold (2e-4) applies to gradients
+    w.r.t. half-screen NDC coordinates — their rasterizer backward
+    multiplies the pixel-space gradient by W/2, H/2
+    (diff-gaussian-rasterization backward.cu dL_dmean2D). Scaling here
+    makes DensifyConfig.grad_threshold=2e-4 exact graphdeco parity AND
+    resolution-independent (an unscaled pixel-unit threshold shrinks
+    ~W/2-fold: at 200px the p99.9 avg grad measures ~4e-5 — below any
+    fixed pixel threshold, so growth never triggered).
+
+    width/height None keeps raw pixel units (unit tests).
+    """
+    g = probe_grad
+    if width is not None:
+        g = g * jnp.asarray(
+            [width * 0.5, (height or width) * 0.5], g.dtype
+        )
+    return jnp.sqrt(jnp.sum(g * g, axis=1))
+
+
+def accumulate_stats(
+    state: DensifyState, probe_grad, radii, width=None, height=None
+) -> DensifyState:
     """Fold one training step's stats in.
 
     Args:
       probe_grad: (C, 2) gradient of the loss w.r.t. the pixel-space
         means2d probe (see ops/projection.py means2d_probe).
       radii: (C,) int32 screen radii from RenderAux (0 = not visible).
+      width/height: render resolution; when given, the grad norm is
+        accumulated in graphdeco's NDC-scaled units (see ndc_grad_norm)
+        so grad_threshold defaults carry across resolutions.
     """
     visible = radii > 0
-    g = jnp.sqrt(jnp.sum(probe_grad * probe_grad, axis=1))
+    g = ndc_grad_norm(probe_grad, width, height)
     return DensifyState(
         grad_sum=state.grad_sum + jnp.where(visible, g, 0.0),
         count=state.count + visible.astype(jnp.float32),
@@ -117,8 +156,9 @@ def densify_step(
       scene_extent: world-space scene radius (graphdeco: camera extent).
 
     Returns:
-      (params, opt_state, DensifyState, overflow): stats reset; overflow
-      is True if children were dropped because capacity ran out.
+      (params, opt_state, DensifyState, DensifyInfo): stats reset;
+      info.overflow is True if children were dropped because capacity
+      ran out; the counters record this round's clone/split/prune sizes.
     """
     from ..utils.transform import rotation_from_quaternion
 
@@ -214,7 +254,13 @@ def densify_step(
         max_radii=jnp.zeros((c,), jnp.int32),
         active=new_active,
     )
-    return new_params, opt_state, fresh, overflow
+    info = DensifyInfo(
+        overflow=overflow,
+        n_cloned=jnp.sum(clone.astype(jnp.int32)),
+        n_split=jnp.sum(split.astype(jnp.int32)),
+        n_pruned=jnp.sum(prune.astype(jnp.int32)),
+    )
+    return new_params, opt_state, fresh, info
 
 
 def reset_opacity(

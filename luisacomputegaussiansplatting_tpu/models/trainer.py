@@ -217,7 +217,9 @@ def make_densify_train_step(
         )(state.params, probe)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_dstate = accumulate_stats(dstate, probe_grad, aux.radii)
+        new_dstate = accumulate_stats(
+            dstate, probe_grad, aux.radii, width, height
+        )
         return (
             TrainState(new_params, new_opt, state.step + 1),
             new_dstate,
@@ -289,8 +291,10 @@ def make_batched_train_step(
         new_params = optax.apply_updates(state.params, updates)
 
         # probe_grad already sums the per-view screen-space gradients
+        from .densify import ndc_grad_norm
+
         visible = radii > 0  # (B, N)
-        g = jnp.sqrt(jnp.sum(probe_grad * probe_grad, axis=1))
+        g = ndc_grad_norm(probe_grad, width, height)
         seen = jnp.any(visible, axis=0)
         new_dstate = DensifyState(
             grad_sum=dstate.grad_sum + jnp.where(seen, g, 0.0),

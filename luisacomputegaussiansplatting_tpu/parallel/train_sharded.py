@@ -204,7 +204,9 @@ def make_sharded_train_step(
         probe_grad = jax.lax.psum(probe_grad, data_axis)
         radii_max = jax.lax.pmax(radii_max, data_axis)
         vis_count = jax.lax.psum(vis_count, data_axis)
-        g_norm = jnp.sqrt(jnp.sum(probe_grad * probe_grad, axis=1))
+        from ..models.densify import ndc_grad_norm
+
+        g_norm = ndc_grad_norm(probe_grad, width, height)
         seen = vis_count > 0
         stats = (jnp.where(seen, g_norm, 0.0), vis_count, radii_max)
         return new_params, new_opt, step_no + 1, loss.reshape(1), overflow, stats

@@ -187,7 +187,7 @@ def save_png(img_chw, path):
     Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(path)
 
 
-def stage_gen(root, quick, platform=None):
+def stage_gen(root, quick, platform=None, views=None, dres=None):
     jax = _jax(platform or ("cpu" if quick else None))
     from luisacomputegaussiansplatting_tpu.config import RenderConfig
     from luisacomputegaussiansplatting_tpu.io.ply import load_ply, save_ply
@@ -214,9 +214,9 @@ def stage_gen(root, quick, platform=None):
         save_png(img, os.path.join(root, f"gt_eval_{i}.png"))
 
     # --- NeRF-blender dataset ------------------------------------------
-    dres = 200 if quick else DATA_RES
+    dres = dres or (200 if quick else DATA_RES)
     cfg_data = RenderConfig(max_pairs=200_000 if quick else 4_000_000)
-    cams, c2ws = camera_ring(N_TRAIN if not quick else 6, width=dres)
+    cams, c2ws = camera_ring(views or (N_TRAIN if not quick else 6), width=dres)
     imgs = render_batch(scene, cams, cfg_data)
     frames = []
     for i, (img, c2w) in enumerate(zip(imgs, c2ws)):
@@ -247,21 +247,23 @@ def stage_gen(root, quick, platform=None):
     print("gen ok", file=sys.stderr)
 
 
-def stage_train(root, quick, platform=None):
+def stage_train(root, quick, platform=None, iters=None, capacity=None,
+                init_points=None, densify_interval=None, extra=()):
     from luisacomputegaussiansplatting_tpu.apps.train_cli import main as train_main
 
     argv = [
         "--nerf-synthetic", root,
-        "--iters", "300" if quick else "4000",
-        "--capacity", "20000" if quick else "200000",
-        "--init-points", "4000" if quick else "30000",
+        "--iters", str(iters or (300 if quick else 4000)),
+        "--capacity", str(capacity or (20000 if quick else 200000)),
+        "--init-points", str(init_points or (4000 if quick else 30000)),
         "--max-pairs", "300000" if quick else "4000000",
         "--tile", "32", "--pack", "none",
-        "--densify-interval", "150",
+        "--densify-interval", str(densify_interval or 150),
         "--sh-upgrade-every", "100" if quick else "1000",
         "--views-per-step", "2",
         "--out", os.path.join(root, "fit"),
         "--log-every", "50",
+        *extra,
     ]
     if platform or quick:
         argv += ["--platform", platform or "cpu"]
@@ -323,7 +325,23 @@ if __name__ == "__main__":
     ap.add_argument("--quick", action="store_true", help="tiny CPU run")
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu) at full scale")
+    # per-stage overrides of the quick/full presets (medium CPU configs)
+    ap.add_argument("--views", type=int, default=None)
+    ap.add_argument("--data-res", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--capacity", type=int, default=None)
+    ap.add_argument("--init-points", type=int, default=None)
+    ap.add_argument("--densify-interval", type=int, default=None)
+    ap.add_argument("--train-extra", nargs="*", default=(),
+                    help="extra args appended to the train CLI")
     a = ap.parse_args()
-    {"gen": stage_gen, "train": stage_train, "eval": stage_eval}[a.stage](
-        a.root, a.quick, a.platform
-    )
+    if a.stage == "gen":
+        stage_gen(a.root, a.quick, a.platform, views=a.views,
+                  dres=a.data_res)
+    elif a.stage == "train":
+        stage_train(a.root, a.quick, a.platform, iters=a.iters,
+                    capacity=a.capacity, init_points=a.init_points,
+                    densify_interval=a.densify_interval,
+                    extra=tuple(a.train_extra))
+    else:
+        stage_eval(a.root, a.quick, a.platform)

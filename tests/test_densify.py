@@ -40,11 +40,12 @@ def test_clone_small_high_grad():
     grads = jnp.zeros((cap, 2)).at[1, 0].set(1.0)
     radii = jnp.zeros((cap,), jnp.int32).at[:n].set(3)
     dstate = accumulate_stats(dstate, grads, radii)
-    new_p, new_opt, new_d, overflow = densify_step(
+    new_p, new_opt, new_d, info = densify_step(
         state.params, state.opt_state, dstate, jax.random.PRNGKey(0),
         scene_extent=1.0, cfg=DensifyConfig(grad_threshold=0.5),
     )
-    assert not bool(overflow)
+    assert not bool(info.overflow)
+    assert (int(info.n_cloned), int(info.n_split), int(info.n_pruned)) == (1, 0, 0)
     assert int(new_d.num_active) == n + 1  # one clone appended
     # the clone copies gaussian 1's parameters exactly
     dest = int(jnp.argmax(new_d.active[n:])) + n
@@ -61,11 +62,12 @@ def test_split_large_high_grad_retires_parent():
     radii = jnp.zeros((cap,), jnp.int32).at[:n].set(3)
     dstate = accumulate_stats(dstate, grads, radii)
     cfg = DensifyConfig(grad_threshold=0.5, split_children=2)
-    new_p, _, new_d, overflow = densify_step(
+    new_p, _, new_d, info = densify_step(
         state.params, state.opt_state, dstate, jax.random.PRNGKey(1),
         scene_extent=1.0, cfg=cfg,
     )
-    assert not bool(overflow)
+    assert not bool(info.overflow)
+    assert (int(info.n_cloned), int(info.n_split)) == (0, 1)
     # parent retired, 2 children born: net +1 (the freed parent slot is
     # recycled, so slot 2 may hold a child now)
     assert int(new_d.num_active) == n + 1
@@ -103,11 +105,11 @@ def test_capacity_overflow_flag():
     grads = jnp.zeros((cap, 2)).at[:n, 0].set(1.0)  # all want to clone
     radii = jnp.zeros((cap,), jnp.int32).at[:n].set(3)
     dstate = accumulate_stats(dstate, grads, radii)
-    new_p, _, new_d, overflow = densify_step(
+    new_p, _, new_d, info = densify_step(
         state.params, state.opt_state, dstate, jax.random.PRNGKey(3),
         scene_extent=1.0, cfg=DensifyConfig(grad_threshold=0.5),
     )
-    assert bool(overflow)
+    assert bool(info.overflow)
     assert int(new_d.num_active) == cap  # filled, none lost
 
 
@@ -260,3 +262,33 @@ def test_train_step_with_densify_fits():
             state = TrainState(p, o, state.step)
     assert losses[-1] < losses[0] * 0.7, losses[::10]
     assert np.isfinite(losses).all()
+
+
+def test_ndc_grad_norm_scaling():
+    """accumulate_stats scales pixel-space probe grads by W/2, H/2 to
+    graphdeco's NDC units (diff-gaussian-rasterization backward.cu
+    dL_dmean2D), so DensifyConfig.grad_threshold=2e-4 is exact parity
+    and resolution-independent."""
+    from luisacomputegaussiansplatting_tpu.models.densify import ndc_grad_norm
+
+    g = jnp.asarray([[3e-6, 4e-6], [1e-5, 0.0]], jnp.float32)
+    # raw pixel units (no resolution given)
+    np.testing.assert_allclose(
+        np.asarray(ndc_grad_norm(g)), [5e-6, 1e-5], rtol=1e-6
+    )
+    # 800x600: gx * 400, gy * 300
+    np.testing.assert_allclose(
+        np.asarray(ndc_grad_norm(g, 800, 600)),
+        [np.hypot(3e-6 * 400, 4e-6 * 300), 1e-5 * 400],
+        rtol=1e-6,
+    )
+    # accumulate_stats folds the scaled norm in
+    cap = 2
+    d0 = init_densify_state(2, cap)
+    radii = jnp.asarray([5, 0], jnp.int32)  # second gaussian invisible
+    d1 = accumulate_stats(d0, g, radii, 800, 600)
+    np.testing.assert_allclose(
+        np.asarray(d1.grad_sum),
+        [np.hypot(3e-6 * 400, 4e-6 * 300), 0.0],
+        rtol=1e-6,
+    )

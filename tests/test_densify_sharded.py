@@ -32,7 +32,7 @@ def test_densify_step_matches_under_sharding():
     key = jax.random.PRNGKey(0)
 
     # single-device reference
-    ref_p, ref_opt, ref_d, ref_of = jax.jit(
+    ref_p, ref_opt, ref_d, ref_info = jax.jit(
         lambda p, o, d, k: densify_step(p, o, d, k, 1.0, cfg)
     )(state.params, state.opt_state, dstate, key)
 
@@ -48,11 +48,12 @@ def test_densify_step_matches_under_sharding():
     sp = jax.tree.map(shard_rows, state.params)
     so = jax.tree.map(shard_rows, state.opt_state)
     sd = DensifyState(*(shard_rows(x) for x in dstate))
-    out_p, out_opt, out_d, out_of = jax.jit(
+    out_p, out_opt, out_d, out_info = jax.jit(
         lambda p, o, d, k: densify_step(p, o, d, k, 1.0, cfg)
     )(sp, so, sd, key)
 
-    assert bool(out_of) == bool(ref_of)
+    assert bool(out_info.overflow) == bool(ref_info.overflow)
+    assert out_info[1:] == ref_info[1:]  # clone/split/prune counters match
     np.testing.assert_array_equal(
         np.asarray(out_d.active), np.asarray(ref_d.active)
     )
