@@ -53,3 +53,23 @@ def test_train_cli_smoke(tmp_path):
     assert rc == 0
     assert (tmp_path / "syntheticgt300_trained.ply").exists()
     assert (tmp_path / "syntheticgt300_view0.png").exists()
+
+
+def test_train_cli_grows_capacity_on_overflow(tmp_path, capsys):
+    """Render-pair overflow mid-training must trigger grow_capacity:
+    max_pairs doubles, the steps recompile, and training completes —
+    the detected-overflow answer to the reference's silent corruption
+    past its hard L=20M cap (app/main.cpp:245)."""
+    from luisacomputegaussiansplatting_tpu.apps.train_cli import main
+
+    rc = main([
+        "--synthetic-gt", "300", "--views", "2", "--res", "48x32",
+        "--iters", "8", "--capacity", "300", "--init-points", "200",
+        "--max-pairs", "256",  # far below the ~1k+ entries 200 splats emit
+        "--log-every", "4", "--densify-interval", "1000",
+        "--out", str(tmp_path),
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "[overflow] raising max_pairs to 512" in err
+    assert (tmp_path / "syntheticgt300_trained.ply").exists()
