@@ -325,8 +325,9 @@ def _sort_entries(tile_id, depth, gid, num_tiles: int, sort_mode: str):
     "fused": the same packing idea compressed into ONE uint32 key —
     tile rides the top tb = ceil(log2(num_tiles+2)) bits, depth's
     positive-f32 bit pattern (monotone in value) quantized to the low
-    db = 32-tb bits (exponent + db-9 mantissa bits, i.e. ~2^-(db-9)
-    relative depth resolution; db >= 21 at 1080p/tile=32). A single-key
+    db = 32-tb bits (8 exponent + db-8 mantissa bits, i.e. ~2^-(db-8)
+    relative depth resolution: ~2^-13 at db=21, the 1080p/tile=32
+    case). A single-key
     2-operand unstable sort measured 12.3 ms vs 43.3 ms for the 2-key
     stable sort at 10.7M entries on v5e (BASELINE.md round 3). Blend
     order differs from "2key" only between splats whose depths collide

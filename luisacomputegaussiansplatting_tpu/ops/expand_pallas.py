@@ -244,6 +244,13 @@ def expand_entries_pallas(
     """
     from .projection import _tile_wh
 
+    # the kernel promises pl.multiple_of(lo + sw * w, 128) on its HBM
+    # slice offsets (lane-dim alignment, CLAUDE.md Pallas rules): a
+    # non-128-multiple w would make that a false promise — misaligned
+    # streamed rows on real TPUs (the interpret-mode parity tests ignore
+    # the hint and would not catch it)
+    if w % 128 or s % 128:
+        raise ValueError(f"s ({s}) and w ({w}) must be multiples of 128")
     # expansion is structural (sort keys + indices): no gradients flow
     # through it, and pallas_call has no JVP rule — cut the tangent path
     proj = jax.tree.map(jax.lax.stop_gradient, proj)

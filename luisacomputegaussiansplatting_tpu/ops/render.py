@@ -39,6 +39,22 @@ class RenderAux(NamedTuple):
     means2d: jnp.ndarray  # (N, 2) pixel-space centres (for position grads)
 
 
+def _selection_opacity(opacities, cfg):
+    """Opacity as the ENTRY-SELECTION stages must see it.
+
+    tight_radius reach and the expansion tile cull decide which entries
+    exist from ``alpha = o * exp(power) >= alpha_min``; the blend kernel
+    decides the same inequality from the PAYLOAD opacity, which under
+    payload_dtype="bf16" is bf16-rounded. An o within one bf16 ulp of a
+    reach boundary would make the two disagree (entries culled that the
+    blend accepts, or kept that it rejects), breaking the options'
+    output-exactness guarantee — so selection uses the rounded value the
+    kernel will actually blend."""
+    if cfg.payload_dtype == "bf16":
+        return opacities.astype(jnp.bfloat16).astype(jnp.float32)
+    return opacities
+
+
 def payload_table(proj: ProjectedGaussians, colors, opacities):
     """(N, FIELDS) row-major per-gaussian payload table (differentiable).
 
@@ -242,10 +258,11 @@ def render_view(
         height=height,
         active_mask=active_mask,
         means2d_probe=means2d_probe,
-        opacities=opacities if cfg.tight_radius else None,
+        opacities=_selection_opacity(opacities, cfg) if cfg.tight_radius
+        else None,
     )
     grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
-    cull_op = opacities if cfg.tile_cull else None
+    cull_op = _selection_opacity(opacities, cfg) if cfg.tile_cull else None
     if cfg.pack_mode == "chunk":
         binned = bin_gaussians(
             proj, grid_x, grid_y, cfg.max_pairs, cull_op, cfg.tile_wh,

@@ -244,6 +244,37 @@ def _unpack_bf16_pairs(packed, n: int):
     return rows[:n]
 
 
+def pack_rows_bf16(rows):
+    """(M, 2k or 2k-1) f32 matrix -> (M, k) int32 bf16 pairs, row-space
+    (hi = even columns, lo = odd; odd widths zero-pad the last lo)."""
+    cols = rows.shape[1]
+    if cols % 2:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((rows.shape[0], 1), rows.dtype)], axis=1
+        )
+
+    def u(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.int32)
+
+    return (u(rows[:, 0::2]) << 16) | u(rows[:, 1::2])
+
+
+def unpack_rows_bf16(packed, cols: int):
+    """(M, k) int32 -> (M, cols) f32, inverse of pack_rows_bf16.
+    Row-space throughout — one interleave, no per-column slicing (the
+    9x-relayout trap, ops/render._unpack_rows7)."""
+    hi = jax.lax.bitcast_convert_type(
+        (packed >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        packed.astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    m = packed.shape[0]
+    return jnp.stack([hi, lo], axis=-1).reshape(m, -1)[:, :cols]
+
+
 def reduce_fields_by_id(
     gid, field_rows, n_out: int, interpret: bool = False, dtype: str = "f32",
     method: str = "ride", stable: bool = False,
@@ -297,17 +328,7 @@ def reduce_fields_by_id(
             packed = _pack_bf16_pairs(field_rows)
             mat = jnp.stack(packed, axis=1)  # (L, ceil(cols/2)) uint32
             sp = jnp.take(mat, perm, axis=0)
-            hi = jax.lax.bitcast_convert_type(
-                (sp >> 16).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-            lo = jax.lax.bitcast_convert_type(
-                sp.astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-            parts = []
-            for i in range(sp.shape[1]):
-                parts.append(hi[:, i : i + 1])
-                parts.append(lo[:, i : i + 1])
-            rows_lc = jnp.concatenate(parts[:cols], axis=1)  # (L, cols)
+            rows_lc = unpack_rows_bf16(sp, cols)  # (L, cols)
         elif dtype == "f32":
             mat = jnp.stack(field_rows, axis=1)  # (L, cols)
             rows_lc = jnp.take(mat, perm, axis=0)

@@ -32,6 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# row-space bf16 pair pack/unpack shared with the gradient-reduce sort
+from ..ops.segsum import pack_rows_bf16 as _pack_rows_bf16
+from ..ops.segsum import unpack_rows_bf16 as _unpack_rows_bf16
+
 
 def _int_zero_cotangent(x):
     return np.broadcast_to(np.zeros((), dtype=jax.dtypes.float0), x.shape)
@@ -232,35 +236,6 @@ pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
 # differentiable unit (cotangents cannot flow through int32 intermediates,
 # so the packed path cannot reuse the per-op VJPs above)
 # ---------------------------------------------------------------------------
-
-
-def _pack_rows_bf16(rows):
-    """(M, 2k or 2k-1) f32 -> (M, k) int32 bf16 pairs, row-space."""
-    cols = rows.shape[1]
-    if cols % 2:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((rows.shape[0], 1), rows.dtype)], axis=1
-        )
-
-    def u(x):
-        return jax.lax.bitcast_convert_type(
-            x.astype(jnp.bfloat16), jnp.uint16
-        ).astype(jnp.int32)
-
-    return (u(rows[:, 0::2]) << 16) | u(rows[:, 1::2])
-
-
-def _unpack_rows_bf16(packed, cols: int):
-    """(M, k) int32 -> (M, cols) f32, inverse of _pack_rows_bf16.
-    Row-space throughout (one fused kLoop; see ops.render._unpack_rows7)."""
-    hi = jax.lax.bitcast_convert_type(
-        (packed >> 16).astype(jnp.uint16), jnp.bfloat16
-    ).astype(jnp.float32)
-    lo = jax.lax.bitcast_convert_type(
-        packed.astype(jnp.uint16), jnp.bfloat16
-    ).astype(jnp.float32)
-    m = packed.shape[0]
-    return jnp.stack([hi, lo], axis=-1).reshape(m, -1)[:, :cols]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -216,16 +216,19 @@ def _render_shard(
     tile_w, tile_h = cfg.tile_wh
 
     # ---- local compute on this chip's gaussian shard -------------------
+    from ..ops.render import _selection_opacity
+
     colors = compute_colors(means3d, sh_coeffs, cam_view.position, sh_degree)
     proj = project_gaussians(
         means3d, scales, quats, cam_view, cfg, ewa_mode=ewa_mode,
         width=width, height=height, active_mask=active_mask,
         means2d_probe=means2d_probe,
-        opacities=opacities if cfg.tight_radius else None,
+        opacities=_selection_opacity(opacities, cfg) if cfg.tight_radius
+        else None,
     )
 
     l_loc = scfg.max_pairs_local
-    cull_op = opacities if cfg.tile_cull else None
+    cull_op = _selection_opacity(opacities, cfg) if cfg.tile_cull else None
     tile_id, depth, gid, total = expand_entries_auto(
         proj, grid_x, num_tiles_padded, l_loc, cull_op, cfg.tile_wh,
         cfg.alpha_min, cfg.expansion, cfg.interpret,

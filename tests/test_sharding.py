@@ -441,3 +441,42 @@ def test_exchange_capacity_overflow_flagged_and_recoverable():
     assert not bool(aux2.overflow)
     img1 = jax.jit(lambda *a: render(*a, CAM, cfg=CFG))(*big.render_args())
     np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=2e-5)
+
+
+def test_sharded_train_step_has_no_scatter(scene):
+    """The render-only scatter scan (above) misses the training step's
+    extra gradient consumers (the means2d probe for densify stats, the
+    halo-exchanged D-SSIM loss): assert the FULL densify train step's
+    compiled backward is scatter-free too."""
+    from luisacomputegaussiansplatting_tpu.models.densify import (
+        init_densify_state,
+    )
+
+    cam = CAM.resized(64, 48)
+    mesh = make_mesh((2, 4), ("data", "gs"))
+    step_fn, opt, pad_targets = make_sharded_train_step(
+        mesh, cam.width, cam.height, cfg=CFG, scfg=SCFG, densify=True
+    )
+    state, _ = init_train_state(scene.to_params())
+    dstate = init_densify_state(
+        scene.num_gaussians, scene.num_gaussians
+    )
+    views = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[cam.to_view(), cam.to_view()]
+    )
+    rng = np.random.default_rng(11)
+    targets = pad_targets(jnp.asarray(
+        rng.uniform(0, 1, (2, 3, 48, 64)), jnp.float32
+    ))
+    hlo = (
+        jax.jit(step_fn)
+        .lower(state, dstate, views, targets)
+        .compile()
+        .as_text()
+    )
+    scatters = [
+        ln.strip()[:100]
+        for ln in hlo.splitlines()
+        if " scatter(" in ln and ("f32[" in ln or "bf16[" in ln)
+    ]
+    assert not scatters, scatters
