@@ -332,16 +332,20 @@ if __name__ == "__main__":
     ap.add_argument("--capacity", type=int, default=None)
     ap.add_argument("--init-points", type=int, default=None)
     ap.add_argument("--densify-interval", type=int, default=None)
-    ap.add_argument("--train-extra", nargs="*", default=(),
-                    help="extra args appended to the train CLI")
+    ap.add_argument("--train-extra", default="",
+                    help="extra args appended to the train CLI "
+                         "(one shell-quoted string, e.g. "
+                         "'--ckpt-every 250 --resume')")
     a = ap.parse_args()
     if a.stage == "gen":
         stage_gen(a.root, a.quick, a.platform, views=a.views,
                   dres=a.data_res)
     elif a.stage == "train":
+        import shlex
+
         stage_train(a.root, a.quick, a.platform, iters=a.iters,
                     capacity=a.capacity, init_points=a.init_points,
                     densify_interval=a.densify_interval,
-                    extra=tuple(a.train_extra))
+                    extra=tuple(shlex.split(a.train_extra)))
     else:
         stage_eval(a.root, a.quick, a.platform)
