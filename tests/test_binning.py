@@ -272,8 +272,6 @@ def test_empty_scene():
 
 def test_tile_cull_is_output_exact():
     """Ellipse-tile culling drops entries but must be render-exact."""
-    import dataclasses
-
     import jax
     import numpy as np
 

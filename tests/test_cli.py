@@ -1,7 +1,5 @@
 """In-process CLI smoke tests (render_cli + train_cli)."""
 
-import os
-
 import numpy as np
 
 
@@ -23,8 +21,6 @@ def test_render_cli_synthetic(tmp_path):
 
 
 def test_render_cli_ply_roundtrip(tmp_path):
-    import jax
-
     from luisacomputegaussiansplatting_tpu.apps.render_cli import main
     from luisacomputegaussiansplatting_tpu.io.ply import save_ply
     from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene

@@ -10,7 +10,6 @@ import math
 import os
 
 import numpy as np
-import pytest
 
 from luisacomputegaussiansplatting_tpu.io.dataset import (
     load_colmap_text,

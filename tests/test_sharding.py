@@ -10,7 +10,6 @@ import pytest
 from luisacomputegaussiansplatting_tpu.config import RenderConfig
 from luisacomputegaussiansplatting_tpu.io.synthetic import random_scene
 from luisacomputegaussiansplatting_tpu.models.trainer import (
-    TrainState,
     init_train_state,
 )
 from luisacomputegaussiansplatting_tpu.ops.render import render

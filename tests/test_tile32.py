@@ -7,7 +7,6 @@ bit-identical — but any differences are tail contributions below the
 exercise gradients at tile=32.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
