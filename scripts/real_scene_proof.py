@@ -213,9 +213,20 @@ def stage_gen(root, quick, platform=None, views=None, dres=None):
         save_png(img, os.path.join(root, f"gt_eval_{i}.png"))
 
     # --- NeRF-blender dataset ------------------------------------------
+    # two rings bracketing the eval ring's height (2.2): a single-ring
+    # rig makes every eval pose an extrapolation and caps held-out PSNR
+    # regardless of trainer quality
     dres = dres or (200 if quick else DATA_RES)
     cfg_data = RenderConfig(max_pairs=200_000 if quick else 4_000_000)
-    cams, c2ws = camera_ring(views or (N_TRAIN if not quick else 6), width=dres)
+    n_views = views or (N_TRAIN if not quick else 6)
+    cams_lo, c2w_lo = camera_ring(
+        -(-n_views // 2), height=1.4, radius=4.2, width=dres
+    )
+    cams_hi, c2w_hi = camera_ring(
+        n_views // 2, height=2.8, radius=4.4, width=dres
+    )
+    cams = cams_lo + cams_hi
+    c2ws = c2w_lo + c2w_hi
     imgs = render_batch(scene, cams, cfg_data)
     frames = []
     for i, (img, c2w) in enumerate(zip(imgs, c2ws)):
