@@ -68,6 +68,8 @@ def build_parser():
                         "row gather (see RenderConfig.grad_reduce_method)")
     p.add_argument("--tight-radius", action="store_true",
                    help="exact alpha_min splat radii (see render_cli)")
+    p.add_argument("--tile-cull", action="store_true",
+                   help="in-kernel exact ellipse-tile cull (see render_cli)")
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--sh-upgrade-every", type=int, default=1000,
                    help="raise the active SH degree by one every N iters "
@@ -251,7 +253,8 @@ def main(argv=None):
                        tile_h=args.tile_h, pack_mode=args.pack,
                        payload_dtype=args.payload, sort_mode=args.sort,
                        grad_reduce_method=args.grad_reduce,
-                       tight_radius=args.tight_radius)
+                       tight_radius=args.tight_radius,
+                       tile_cull=args.tile_cull)
     scfg = None
     pad_targets_fn = None
     if mesh is not None:

@@ -302,6 +302,15 @@ def main(argv=None):
                    help="payload-gather precision (see render_cli "
                         "--payload); viewer default bf16 (rounding below "
                         "jpeg quantisation)")
+    p.add_argument("--tight-radius", action="store_true", default=True,
+                   help="exact alpha_min splat radii (see render_cli); "
+                        "on by default for interactive FPS")
+    p.add_argument("--no-tight-radius", dest="tight_radius",
+                   action="store_false")
+    p.add_argument("--tile-cull", action="store_true", default=True,
+                   help="in-kernel ellipse-tile cull (see render_cli); "
+                        "on by default for interactive FPS")
+    p.add_argument("--no-tile-cull", dest="tile_cull", action="store_false")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -327,7 +336,9 @@ def main(argv=None):
         scene, w, h,
         RenderConfig(max_pairs=args.max_pairs, tile=args.tile,
                      pack_mode=args.pack, sort_mode=args.sort,
-                     payload_dtype=args.payload),
+                     payload_dtype=args.payload,
+                     tight_radius=args.tight_radius,
+                     tile_cull=args.tile_cull),
         name=name,
         init_pos=tuple(_parse_vec(args.cam_pos)),
         init_target=tuple(_parse_vec(args.cam_target)),
