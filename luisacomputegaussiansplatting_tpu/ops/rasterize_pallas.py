@@ -51,7 +51,7 @@ Memory layout (all chosen for Mosaic's (sublane, 128-lane) tiling):
     Entries are pre-sorted by (tile, depth) and every tile's range start /
     length is CHUNK-aligned (binning.py), so each DMA is a lane-aligned
     (16, 128) slice and chunks never straddle tiles.
-  * tile outputs / residuals: (num_tiles, PIX=256, 8) — pixels along
+  * tile outputs / residuals: (num_tiles, tile_w*tile_h, 8) — pixels along
     sublanes, so kernel accumulators (PIX, 1) write out with no transpose.
 """
 
@@ -111,6 +111,23 @@ def _tile_dims(cfg: RenderConfig):
     return tw, th, tw * th
 
 
+def _chunk_range(start, count, packed: bool):
+    """(base, end, n_chunks) of a tile's CHUNK grid — the invariant the
+    forward and backward kernels must share for the backward replay to
+    see exactly the forward's chunks.
+
+    packed ("chunk"): ranges are CHUNK-aligned by construction.
+    no-pack: read from the 128-aligned chunk grid and mask neighbour-tile
+    entries by their global index (end is the exclusive range bound the
+    mask needs; None when packed)."""
+    if packed:
+        return start, None, count // CHUNK
+    base = (start // CHUNK) * CHUNK
+    end = start + count
+    n_chunks = jnp.where(count > 0, (end - base + CHUNK - 1) // CHUNK, 0)
+    return base, end, n_chunks
+
+
 def _pixel_coords(tile_idx, grid_x: int, width: int, height: int,
                   tile_w: int, tile_h: int):
     """Global (x, y) pixel coordinates of a tile's pixels as
@@ -135,13 +152,25 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
     Args:
       buf: (FIELDS, CHUNK) payload slice in VMEM.
       px, py: (PIX, 1) pixel coordinates.
-      t_in: (PIX, 1) incoming transmittance.
+      t_in: (PIX, 1) incoming CHAIN transmittance — the product of
+        (1 - alpha) over every previous live entry, applied or not (see
+        t_chain below). Before the first rejected entry this equals the
+        applied-only transmittance; after one it is < transmittance_eps
+        forever, which is exactly what keeps the reference's per-pixel
+        `done` latch sticky across chunks (shader.cpp:257-266 sets done
+        and stops WITHOUT applying the entry that would cross eps).
       ut: (CHUNK, CHUNK) upper-triangular ones.
       range_mask: optional (1, CHUNK) bool; False lanes are neighbour-tile
         entries from an aligned over-read (pack_mode "none") and must not
         contribute.
 
-    Returns dict of (PIX, CHUNK) / (PIX, 1) intermediates.
+    Returns dict of (PIX, CHUNK) / (PIX, 1) intermediates. Carry
+    contract for the chunk loops: feed `t_chain` into the next chunk's
+    t_in; report `t_last` (the last APPLIED value, the reference's
+    output T) only where `has_applied`, else keep the previous report.
+    Both carries agree until the first rejection, after which nothing
+    is ever applied again (chain < eps and monotone non-increasing), so
+    weights computed from the chain are exact for every applied entry.
     """
     mx = buf[0:1, :]  # (1, CHUNK)
     my = buf[1:2, :]
@@ -170,7 +199,10 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
     t_before = t_after / (1.0 - alpha)
     applied = (t_after >= cfg.transmittance_eps) & (alpha > 0.0)
     w = jnp.where(applied, t_before * alpha, 0.0)
-    t_next = jnp.min(
+    # chain over ALL live entries (applied or not): the sticky-done carry
+    t_chain = t_in * jnp.exp(s_inc[:, -1:])
+    has_applied = jnp.any(applied, axis=1, keepdims=True)
+    t_last = jnp.min(
         jnp.where(applied, t_after, jnp.broadcast_to(t_in, t_after.shape)),
         axis=1,
         keepdims=True,
@@ -184,7 +216,9 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
         applied=applied,
         w=w,
         t_before=t_before,
-        t_next=t_next,
+        t_chain=t_chain,
+        has_applied=has_applied,
+        t_last=t_last,
     )
 
 
@@ -211,15 +245,7 @@ def _forward_kernel(
     start = starts_ref[tile]
     count = counts_ref[tile]
     packed = cfg.pack_mode == "chunk"
-    if packed:
-        base = start
-        n_chunks = count // CHUNK
-    else:
-        # raw sorted ranges: read from the 128-aligned chunk grid and mask
-        # neighbour-tile entries by their global index
-        base = (start // CHUNK) * CHUNK
-        end = start + count
-        n_chunks = jnp.where(count > 0, (end - base + CHUNK - 1) // CHUNK, 0)
+    base, end, n_chunks = _chunk_range(start, count, packed)
 
     tw, th, pix = _tile_dims(cfg)
     # tile-sharded strips: offset_ref[0] is this shard's first global tile
@@ -243,11 +269,14 @@ def _forward_kernel(
         chunk_dma(0).start()
 
     def cond(carry):
-        c, _t, _cr, _cg, _cb, t_max = carry
-        return (c < n_chunks) & (t_max >= cfg.transmittance_eps)
+        c, _tc, _to, _cr, _cg, _cb, chain_max = carry
+        # once every pixel's chain is below eps nothing can ever apply
+        # again (the chain is monotone non-increasing): the reference's
+        # sticky done latch, tile-wide
+        return (c < n_chunks) & (chain_max >= cfg.transmittance_eps)
 
     def body(carry):
-        c, t_in, cr, cg, cb, _t_max = carry
+        c, t_chain, t_out, cr, cg, cb, _m = carry
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -260,17 +289,19 @@ def _forward_kernel(
         else:
             idx = base + c * CHUNK + lane
             rmask = (idx >= start) & (idx < end)
-        f = _chunk_blend(cur, px, py, t_in, ut, cfg, rmask)
+        f = _chunk_blend(cur, px, py, t_chain, ut, cfg, rmask)
         w = f["w"]
         cr = cr + jnp.sum(w * cur[6:7, :], axis=1, keepdims=True)
         cg = cg + jnp.sum(w * cur[7:8, :], axis=1, keepdims=True)
         cb = cb + jnp.sum(w * cur[8:9, :], axis=1, keepdims=True)
-        t_new = f["t_next"]
-        return (c + 1, t_new, cr, cg, cb, jnp.max(t_new))
+        # carry split (see _chunk_blend): chain gates, last-applied reports
+        t_out = jnp.where(f["has_applied"], f["t_last"], t_out)
+        t_chain = f["t_chain"]
+        return (c + 1, t_chain, t_out, cr, cg, cb, jnp.max(t_chain))
 
     zeros = jnp.zeros((pix, 1), jnp.float32)
-    init = (jnp.int32(0), t0, zeros, zeros, zeros, jnp.float32(1.0))
-    c_f, t_fin, cr, cg, cb, _ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), t0, t0, zeros, zeros, zeros, jnp.float32(1.0))
+    c_f, _tc, t_fin, cr, cg, cb, _ = jax.lax.while_loop(cond, body, init)
 
     # drain the speculative DMA if the loop exited early
     @pl.when(c_f < n_chunks)
@@ -301,7 +332,9 @@ def rasterize_forward(
         first tile (tile-sharded strips); defaults to 0.
 
     Returns:
-      (num_tiles, PIX, 8) float32: columns [r, g, b, T, 0, 0, 0, 0].
+      (num_tiles, tile_w*tile_h, 8) float32 (tile_w*tile_h from
+      cfg.tile_wh: 256 default, 1024 at tile=32): columns
+      [r, g, b, T, 0, 0, 0, 0].
     """
     num_tiles = tile_starts.shape[0]
     _tw, _th, pix = _tile_dims(cfg)
@@ -364,13 +397,7 @@ def _backward_kernel(
     start = starts_ref[tile]
     count = counts_ref[tile]
     packed = cfg.pack_mode == "chunk"
-    if packed:
-        base = start
-        n_chunks = count // CHUNK
-    else:
-        base = (start // CHUNK) * CHUNK
-        end = start + count
-        n_chunks = jnp.where(count > 0, (end - base + CHUNK - 1) // CHUNK, 0)
+    base, end, n_chunks = _chunk_range(start, count, packed)
     tw, th, pix = _tile_dims(cfg)
 
     px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, tw, th)
@@ -470,13 +497,13 @@ def _backward_kernel(
             rgbuf[...] = jnp.zeros((PAYLOAD_ROWS, CHUNK), jnp.float32)
 
     def cond(carry):
-        c, _t, _p, t_max = carry
+        c, _t, _p, chain_max = carry
         # post-saturation chunks receive exactly zero gradients (applied
         # is False for every pixel), so stop like the forward pass does
-        return (c < n_chunks) & (t_max >= cfg.transmittance_eps)
+        return (c < n_chunks) & (chain_max >= cfg.transmittance_eps)
 
     def body(carry):
-        c, t_in, prefix, _t_max = carry  # (PIX, 1), (PIX, 1)
+        c, t_chain, prefix, _m = carry  # (PIX, 1), (PIX, 1)
 
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -490,7 +517,7 @@ def _backward_kernel(
         else:
             idx = base + c * CHUNK + lane
             rmask = (idx >= start) & (idx < end)
-        f = _chunk_blend(cur, px, py, t_in, ut, cfg, rmask)
+        f = _chunk_blend(cur, px, py, t_chain, ut, cfg, rmask)
         alpha, w, applied = f["alpha"], f["w"], f["applied"]
 
         hi = jax.lax.Precision.HIGHEST
@@ -550,7 +577,7 @@ def _backward_kernel(
         gbuf[slot] = gvals
         out_dma(c).start()
 
-        t_new = f["t_next"]
+        t_new = f["t_chain"]
         prefix_new = prefix + jnp.sum(wb, axis=1, keepdims=True)
         return (c + 1, t_new, prefix_new, jnp.max(t_new))
 
@@ -575,14 +602,10 @@ def _backward_kernel(
     @pl.when(c_f < n_chunks)
     def _():
         gbuf[0] = jnp.zeros((PAYLOAD_ROWS, CHUNK), jnp.float32)
-        if packed:
-            zero_from = c_f
-        else:
-            # a shared, never-computed head chunk must keep the previous
-            # tile's values (our contribution there is exactly zero)
-            zero_from = jnp.where(
-                jnp.logical_and(c_f == 0, head_shared), 1, c_f
-            )
+        # c_f >= 1 whenever this body runs (the while cond starts true
+        # for n_chunks > 0), so a shared head chunk was always computed
+        # before any early exit — zero-fill starts at c_f unconditionally
+        zero_from = c_f
 
         def zero_body(c, _):
             dma = out_dma_slot0(c)
@@ -607,7 +630,8 @@ def rasterize_backward(
     """Run the backward kernel.
 
     Args:
-      residual: (num_tiles, PIX, 8): columns [dC rgb, dT, C_final rgb, T_final].
+      residual: (num_tiles, tile_w*tile_h, 8): columns
+        [dC rgb, dT, C_final rgb, T_final].
 
     Returns:
       (PAYLOAD_ROWS, capacity) float32 per-entry gradients (payload layout);
@@ -672,7 +696,8 @@ def rasterize_tiles(
 ):
     """Differentiable tile rasterization.
 
-    Returns (color (num_tiles, PIX, 3), transmittance (num_tiles, PIX, 1)).
+    Returns (color (num_tiles, tile_w*tile_h, 3), transmittance
+    (num_tiles, tile_w*tile_h, 1)); tile_w*tile_h follows cfg.tile_wh.
     Gradients flow to ``payload`` only (binning indices are structural).
     """
     out = rasterize_forward(

@@ -283,3 +283,84 @@ def test_tight_radius_bit_exact_and_fewer_entries():
             a, b = np.asarray(a), np.asarray(b)
             scale = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+def test_saturation_latch_sticky_across_chunks():
+    """A rejected high-alpha blocker must latch the pixel done FOREVER
+    (reference shader.cpp:257-266 sets `done` without applying the entry
+    that would cross eps). Regression: the chunk loop used to carry the
+    last-APPLIED transmittance, so entries in the next chunk resurrected
+    a saturated pixel (order 1e-2 color error on near-saturated pixels).
+
+    Build one 16x16 tile with exactly 2 chunks: chunk 0 = seven
+    alpha=0.5 entries (T -> 7.8e-3) then an alpha=0.99 blocker
+    (test_T = 7.8e-5 < 1e-4 -> rejected, done), chunk 1 = 128 small
+    alpha=0.02 entries that must all stay unapplied."""
+    import jax
+    import jax.numpy as jnp
+
+    from luisacomputegaussiansplatting_tpu.ops.binning import (
+        BinnedGaussians, CHUNK,
+    )
+    from luisacomputegaussiansplatting_tpu.ops.rasterize_pallas import (
+        PAYLOAD_ROWS,
+    )
+
+    cfg = RenderConfig(max_pairs=2 * CHUNK, tile=16)
+    w = h = 16
+    cap = 2 * CHUNK
+    opac = np.zeros(cap, np.float32)
+    opac[:7] = 0.5
+    opac[7] = 0.99
+    opac[CHUNK:] = 0.02
+    payload = np.zeros((PAYLOAD_ROWS, cap), np.float32)
+    payload[0] = 8.0  # mean x: tile centre
+    payload[1] = 8.0
+    payload[2] = 1e-6  # near-flat conic: alpha ~ opacity tile-wide
+    payload[4] = 1e-6
+    payload[5] = opac
+    payload[6:9] = 1.0  # white: any resurrected entry shows in color
+    payload = jnp.asarray(payload)
+    starts = jnp.asarray([0], jnp.int32)
+    counts = jnp.asarray([cap], jnp.int32)
+    binned = BinnedGaussians(
+        entry_gid=jnp.where(jnp.asarray(opac) > 0, 1, -1).astype(jnp.int32),
+        entry_tile=jnp.zeros(cap, jnp.int32),
+        tile_starts=starts,
+        tile_counts=counts,
+        num_rendered=jnp.int32(cap),
+        overflow=jnp.asarray(False),
+    )
+
+    def run_pallas(pl_):
+        return rasterize_tiles(pl_, starts, counts, 1, w, h, cfg)
+
+    def run_ref(pl_):
+        return rasterize_reference(pl_, binned, 1, w, h, cfg)
+
+    (c_p, t_p) = run_pallas(payload)
+    (c_r, t_r) = run_ref(payload)
+    # T after the 7 applied entries, latched (alpha ~ 0.5 up to the
+    # near-flat conic falloff); exactness is asserted vs the oracle below
+    t_expect = 0.5 ** 7
+    np.testing.assert_allclose(np.asarray(t_p), t_expect, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_r), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(c_p), np.asarray(c_r), atol=1e-6
+    )
+
+    # gradients: chunk-1 entries are never applied -> zero payload grads
+    def loss_p(pl_):
+        c, t = run_pallas(pl_)
+        return jnp.sum(c) + jnp.sum(t)
+
+    def loss_r(pl_):
+        c, t = run_ref(pl_)
+        return jnp.sum(c) + jnp.sum(t)
+
+    g_p = jax.grad(loss_p)(payload)
+    g_r = jax.grad(loss_r)(payload)
+    assert float(jnp.abs(g_p[:, CHUNK:]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(g_p[:9]), np.asarray(g_r[:9]), atol=5e-4
+    )
