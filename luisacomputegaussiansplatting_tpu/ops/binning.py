@@ -52,8 +52,8 @@ class BinnedGaussians(NamedTuple):
     entry_tile: jnp.ndarray  # (capacity,) int32 owning tile, -1 = pad
     tile_starts: jnp.ndarray  # (num_tiles,) int32
     tile_counts: jnp.ndarray  # (num_tiles,) int32 (multiples of CHUNK)
-    num_rendered: jnp.ndarray  # () int32: true entry count (pre-padding)
-    overflow: jnp.ndarray  # () bool: true entry count exceeded max_pairs
+    num_rendered: jnp.ndarray  # () int32: entries retained post cull/trim
+    overflow: jnp.ndarray  # () bool: AABB expansion slots exceeded max_pairs
 
 
 def forward_fill_ids(starts, valid, capacity: int):
@@ -68,6 +68,20 @@ def forward_fill_ids(starts, valid, capacity: int):
     # lax.cummax measures faster than a hand-written Pallas scan at
     # multi-million sizes on v5e; the fill cost is the scatter above.
     return jax.lax.cummax(heads)
+
+
+def _saturate_total(total, counts):
+    """Guard the int32 cumsum wrap: on divergent scenes the summed AABB
+    areas can exceed 2^31, making ``total`` negative (or wrapped back
+    positive) — which would defeat every downstream ``total > capacity``
+    overflow check and reproduce the exact silent-corruption mode this
+    design exists to prevent. An f32 re-sum detects the wrap (relative
+    error ~2^-24 is irrelevant against a 2^31 threshold) and pins total
+    to INT32_MAX so overflow fires loudly."""
+    total_f = jnp.sum(counts.astype(jnp.float32))
+    return jnp.where(
+        total_f >= jnp.float32(2**31 - 1), jnp.int32(2**31 - 1), total
+    )
 
 
 def expand_entries(
@@ -110,6 +124,7 @@ def expand_entries(
     ends = jnp.cumsum(counts)
     starts = ends - counts
     total = ends[-1] if counts.shape[0] > 0 else jnp.int32(0)
+    total = _saturate_total(total, counts)
 
     def fbits(x):
         return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
@@ -144,6 +159,8 @@ def expand_entries(
     tile_y = min_y + local // rect_w
 
     if opacities is not None:
+        from .expand_pallas import ellipse_tile_reaches
+
         def f32(col):
             return jax.lax.bitcast_convert_type(g[:, col], jnp.float32)
 
@@ -155,32 +172,9 @@ def expand_entries(
         x1 = x0 + (tw - 1)
         y0 = (tile_y * th).astype(jnp.float32)
         y1 = y0 + (th - 1)
-        inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
-
-        def q(dx, dy):
-            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-
-        def edge_x(xe):
-            dx = xe - mx
-            ys = jnp.clip(my - (cb / jnp.maximum(cc, 1e-12)) * dx, y0, y1)
-            return q(dx, ys - my)
-
-        def edge_y(ye):
-            dy = ye - my
-            xs = jnp.clip(mx - (cb / jnp.maximum(ca, 1e-12)) * dy, x0, x1)
-            return q(xs - mx, dy)
-
-        q_min = jnp.where(
-            inside,
-            0.0,
-            jnp.minimum(
-                jnp.minimum(edge_x(x0), edge_x(x1)),
-                jnp.minimum(edge_y(y0), edge_y(y1)),
-            ),
+        slot_valid = slot_valid & ellipse_tile_reaches(
+            mx, my, ca, cb, cc, op, x0, x1, y0, y1, alpha_min
         )
-        # alpha = op * exp(-q) >= alpha_min  <=>  q <= log(op / alpha_min)
-        reaches = q_min <= jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
-        slot_valid = slot_valid & reaches
 
     tile_id = tile_x + tile_y * grid_x
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)
@@ -212,9 +206,18 @@ def expand_entries_auto(
     """
     from .expand_pallas import expand_entries_pallas, fits_f32
 
-    use_pallas = expansion in ("auto", "pallas") and fits_f32(
-        max_pairs, proj.tiles_touched.shape[0]
+    if expansion not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown expansion mode: {expansion!r}")
+    fits = fits_f32(
+        max_pairs, proj.tiles_touched.shape[0], grid_x, num_tiles
     )
+    if expansion == "pallas" and not fits:
+        raise ValueError(
+            "expansion='pallas' forced but the kernel's f32-exactness "
+            "preconditions fail (see expand_pallas.fits_f32); use "
+            "'auto' to allow the XLA fallback"
+        )
+    use_pallas = expansion in ("auto", "pallas") and fits
     if expansion == "xla":
         use_pallas = False
     if use_pallas:
@@ -288,10 +291,12 @@ def pack_slot_inverse(sorted_tile, tile_starts, num_tiles: int, capacity: int):
     )
     k = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32)
     t_safe = jnp.clip(sorted_tile, 0, num_tiles - 1)
+    # one row gather from the packed 2-column table (per-field takes cost
+    # per ROW each, CLAUDE.md) over the L-length entry stream
+    table = jnp.stack([tile_starts, range_start], axis=1)  # (T, 2)
+    t = jnp.take(table, t_safe, axis=0)  # (L, 2)
     return jnp.where(
-        sorted_tile < num_tiles,
-        jnp.take(tile_starts, t_safe) + (k - jnp.take(range_start, t_safe)),
-        capacity,
+        sorted_tile < num_tiles, t[:, 0] + (k - t[:, 1]), capacity
     )
 
 
@@ -410,13 +415,25 @@ def bin_gaussians_nopack(
         ),
         tile_starts=start,
         tile_counts=end - start,
-        num_rendered=jnp.minimum(total, max_pairs).astype(jnp.int32),
+        num_rendered=_num_retained(sorted_tile, num_tiles),
         overflow=overflow,
     )
 
 
 def _round_up_chunk(x: int) -> int:
     return (x + CHUNK - 1) // CHUNK * CHUNK
+
+
+def _num_retained(sorted_tile, num_tiles: int):
+    """Entries that actually survive into the rasterized stream (post
+    ellipse cull and post-sort trim): valid entries carry tile ids
+    < num_tiles and sort first, so one log-time searchsorted counts
+    them. The pre-cull AABB slot count stays the overflow criterion
+    (capacity is sized for expansion slots), but the reported
+    num_rendered now matches what the kernels blend."""
+    return jnp.searchsorted(
+        sorted_tile, jnp.int32(num_tiles), side="left"
+    ).astype(jnp.int32)
 
 
 def bin_gaussians(
@@ -467,6 +484,6 @@ def bin_gaussians(
         entry_tile=entry_tile,
         tile_starts=tile_starts,
         tile_counts=tile_counts,
-        num_rendered=jnp.minimum(total, max_pairs).astype(jnp.int32),
+        num_rendered=_num_retained(sorted_tile, num_tiles),
         overflow=overflow,
     )

@@ -20,8 +20,8 @@ whose selected products re-sum exactly in f32.
 Slot offsets ride as (hi = offset >> 12, lo = offset & 4095) f32 pairs
 and every comparison happens on CHUNK-RELATIVE values (offset - c*S),
 which are exact in f32 wherever the compare outcome is in doubt — so
-capacities up to 2^31 pairs work (gaussian COUNT must stay < 2^24 for
-the row-id field; see `fits_f32`).
+capacities up to 2^30 pairs work (gaussian count and tile count must
+stay < 2^24, grid dims <= 4096; `fits_f32` checks all of it).
 
 With ``opacities`` given, the kernel also applies the exact ellipse-tile
 cull from binning.expand_entries in-flight: an entry whose tile cannot
@@ -58,10 +58,63 @@ _F32_EXACT = 1 << 24
 _SPLIT = 4096  # offset = hi * _SPLIT + lo, both f32-exact
 
 
-def fits_f32(max_pairs: int, num_gaussians: int) -> bool:
-    """Row ids and rect coords must stay exact in f32 (offsets are
-    hi/lo-split, so max_pairs only needs to fit an int32)."""
-    return num_gaussians < _F32_EXACT and max_pairs < 2**31 // 2
+def fits_f32(max_pairs: int, num_gaussians: int, grid_x: int,
+             num_tiles: int) -> bool:
+    """All the kernel's f32-exactness preconditions:
+
+    - row ids / rect coords exact in f32 (num_gaussians < 2^24);
+    - chunk-relative offsets exact (max_pairs < 2^30; offsets are
+      hi/lo-split so only the int32 range binds);
+    - the minxy = x + y*_SPLIT pack decodes exactly (grid_x and the
+      implied grid_y both <= _SPLIT = 4096);
+    - tile ids and the rel()/floor-division arguments stay exact
+      (num_tiles < 2^24).
+    """
+    grid_y = -(-num_tiles // max(grid_x, 1))
+    return (
+        num_gaussians < _F32_EXACT
+        and max_pairs < 2**30
+        and grid_x <= _SPLIT
+        and grid_y <= _SPLIT
+        and num_tiles < _F32_EXACT
+    )
+
+
+def ellipse_tile_reaches(mx, my, ca, cb, cc, op, x0, x1, y0, y1,
+                         alpha_min):
+    """Exact ellipse-tile reach test: can ANY pixel centre in the box
+    [x0,x1]x[y0,y1] receive alpha = op * exp(-q) >= alpha_min? The
+    minimum of the convex quadratic q(d) = 0.5 d^T conic d over the box
+    is closed-form: 0 if the mean is inside, else the best of the four
+    edge-constrained minimizers. Pure elementwise jnp, shared by the XLA
+    (binning.expand_entries) and Pallas (_expand_kernel) expansion paths
+    — the two MUST stay bit-identical for expansion='auto' to be
+    output-transparent."""
+    inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
+
+    def q(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    def edge_x(xe):
+        dx = xe - mx
+        ys = jnp.clip(my - (cb / jnp.maximum(cc, 1e-12)) * dx, y0, y1)
+        return q(dx, ys - my)
+
+    def edge_y(ye):
+        dy = ye - my
+        xs = jnp.clip(mx - (cb / jnp.maximum(ca, 1e-12)) * dy, x0, x1)
+        return q(xs - mx, dy)
+
+    q_min = jnp.where(
+        inside,
+        0.0,
+        jnp.minimum(
+            jnp.minimum(edge_x(x0), edge_x(x1)),
+            jnp.minimum(edge_y(y0), edge_y(y1)),
+        ),
+    )
+    # alpha = op * exp(-q) >= alpha_min  <=>  q <= log(op / alpha_min)
+    return q_min <= jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
 
 
 def _expand_kernel(
@@ -172,8 +225,7 @@ def _expand_kernel(
     tile_id = tile_x + tile_y * grid_x
 
     if cull:
-        # exact ellipse-tile cull (mirrors binning.expand_entries):
-        # minimum of q(d) = 0.5 d^T conic d over the tile pixel box
+        # exact ellipse-tile cull: same shared helper as the XLA path
         mx, my = vals[8:9, :], vals[9:10, :]
         ca, cb, cc = vals[10:11, :], vals[11:12, :], vals[12:13, :]
         op = vals[13:14, :]
@@ -181,31 +233,9 @@ def _expand_kernel(
         x1 = x0 + (tile_w - 1)
         y0 = tile_y * tile_h
         y1 = y0 + (tile_h - 1)
-        inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
-
-        def q(dx, dy):
-            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-
-        def edge_x(xe):
-            dx = xe - mx
-            ys = jnp.clip(my - (cb / jnp.maximum(cc, 1e-12)) * dx, y0, y1)
-            return q(dx, ys - my)
-
-        def edge_y(ye):
-            dy = ye - my
-            xs = jnp.clip(mx - (cb / jnp.maximum(ca, 1e-12)) * dy, x0, x1)
-            return q(xs - mx, dy)
-
-        q_min = jnp.where(
-            inside,
-            0.0,
-            jnp.minimum(
-                jnp.minimum(edge_x(x0), edge_x(x1)),
-                jnp.minimum(edge_y(y0), edge_y(y1)),
-            ),
+        matched = matched & ellipse_tile_reaches(
+            mx, my, ca, cb, cc, op, x0, x1, y0, y1, alpha_min
         )
-        reaches = q_min <= jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
-        matched = matched & reaches
 
     pad = jnp.zeros((5, s), jnp.float32)
     out_ref[0] = jnp.concatenate(
@@ -260,9 +290,12 @@ def expand_entries_pallas(
     tw, th = _tile_wh(tile)
     counts = proj.tiles_touched.astype(jnp.int32)
     p = counts.shape[0]
+    from .binning import _saturate_total
+
     ends = jnp.cumsum(counts)
     starts = ends - counts
     total = ends[-1] if p > 0 else jnp.int32(0)
+    total = _saturate_total(total, counts)
 
     n_chunks = -(-max_pairs // s)
     l_pad = n_chunks * s
