@@ -245,7 +245,11 @@ def main(argv=None):
         )
     n0 = params.means.shape[0]
     params = pad_params_to(params, args.capacity)
-    state, opt = init_train_state(params)
+    # graphdeco's spatial_lr_scale: position lr endpoints scale with the
+    # scene extent (their cameras_extent) so geometry moves at a
+    # world-appropriate rate
+    tc = TrainConfig(spatial_lr_scale=float(data.scene_extent))
+    state, opt = init_train_state(params, tc)
     dstate = init_densify_state(n0, args.capacity)
     print(f"init: {n0} gaussians, capacity {args.capacity}")
 
@@ -267,7 +271,6 @@ def main(argv=None):
         bcap = -(-bcap // CHUNK) * CHUNK
         scfg = ShardedRenderConfig(max_pairs_local=mpl, exchange_capacity=bcap)
     bg = (1.0, 1.0, 1.0) if args.bg == "white" else (0.0, 0.0, 0.0)
-    tc = TrainConfig()
     dcfg = DensifyConfig(grad_threshold=args.grad_threshold)
     from ..models.trainer import make_batched_train_step
 

@@ -45,9 +45,12 @@ class DensifyConfig:
     #: fraction of the scene extent below which a gaussian is "small"
     #: (cloned) rather than "large" (split).
     percent_dense: float = 0.01
-    #: children per split and the scale shrink factor.
+    #: children per split and the scale shrink factor. graphdeco couples
+    #: the shrink to the child count (0.8 * N so the children's combined
+    #: opacity mass stays under the parent's); None derives it, an
+    #: explicit float overrides.
     split_children: int = 2
-    split_scale_shrink: float = 1.6
+    split_scale_shrink: float | None = None
     #: prune gaussians whose opacity falls below this.
     min_opacity: float = 0.005
     #: prune gaussians whose max screen radius exceeded this many pixels
@@ -58,6 +61,12 @@ class DensifyConfig:
     max_world_scale_frac: float = 0.1
     #: opacity ceiling applied by reset_opacity.
     reset_opacity_to: float = 0.01
+
+    @property
+    def split_shrink(self) -> float:
+        if self.split_scale_shrink is not None:
+            return self.split_scale_shrink
+        return 0.8 * self.split_children
 
 
 class DensifyInfo(NamedTuple):
@@ -112,7 +121,7 @@ def ndc_grad_norm(probe_grad, width=None, height=None):
         g = g * jnp.asarray(
             [width * 0.5, (height or width) * 0.5], g.dtype
         )
-    return jnp.sqrt(jnp.sum(g * g, axis=1))
+    return jnp.sqrt(jnp.sum(g * g, axis=-1))
 
 
 def accumulate_stats(
@@ -181,7 +190,23 @@ def densify_step(
                 scale_max > cfg.max_world_scale_frac * scene_extent
             )
     clone = high_grad & small & ~prune
-    split = high_grad & ~small & ~prune
+    want_split = high_grad & ~small & ~prune
+
+    # ---- split-placement gate (capacity-safe) ---------------------------
+    # A split retires its parent, so a parent whose children cannot ALL
+    # be placed must NOT split — otherwise the highest-gradient content
+    # is deleted outright at full capacity. Gate conservatively against
+    # the free-slot count WITHOUT any split retirement (other retiring
+    # splits only ADD free slots, so a parent that fits under this bound
+    # fits under the final count too); demoted parents stay alive
+    # unchanged and are retried next round.
+    n_free0 = jnp.sum(jnp.logical_not(active & ~prune).astype(jnp.int32))
+    kids_per0 = (
+        clone.astype(jnp.int32)
+        + want_split.astype(jnp.int32) * cfg.split_children
+    )
+    kid_end0 = jnp.cumsum(kids_per0)
+    split = want_split & (kid_end0 <= n_free0)
 
     # a split parent is retired after emitting its children
     survivors = active & ~prune & ~split
@@ -198,7 +223,9 @@ def densify_step(
     kids_per = clone.astype(jnp.int32) + split.astype(jnp.int32) * cfg.split_children
     kid_end = jnp.cumsum(kids_per)
     kid_start = kid_end - kids_per
-    overflow = kid_end[-1] > n_free  # children beyond capacity are dropped
+    # clones beyond capacity are dropped (parent survives); demoted
+    # splits count as overflow too so callers grow capacity
+    overflow = (kid_end[-1] > n_free) | jnp.any(want_split & ~split)
 
     # split children: positions ~ N(mean, Sigma) via quat-rotated scaled
     # normals (graphdeco gaussian_model.densify_and_split)
@@ -210,7 +237,7 @@ def densify_step(
     rot = rotation_from_quaternion(qn)  # (C, 3, 3)
     offsets = jnp.einsum("nij,nkj->nki", rot, eps * scales[:, None, :])
     split_means = params.means[:, None, :] + offsets  # (C, kmax, 3)
-    split_log_scales = params.log_scales - jnp.log(cfg.split_scale_shrink)
+    split_log_scales = params.log_scales - jnp.log(cfg.split_shrink)
 
     new_params = params
     new_active = survivors

@@ -56,14 +56,22 @@ def ssim_map(img0, img1, c1: float = 0.01**2, c2: float = 0.03**2):
     matches the single-chip map exactly.
     """
     window = _ssim_window()
-    mu0 = _blur(img0, window)
-    mu1 = _blur(img1, window)
+    c = img0.shape[0]
+    # ONE stacked depthwise blur (2 separable convs over 5C channels)
+    # instead of five (10 convs): grouped convolution is per-channel, so
+    # this is numerically identical and removes ~5x conv launches from
+    # the training hot path (the loss runs per view per step)
+    stacked = jnp.concatenate(
+        [img0, img1, img0 * img0, img1 * img1, img0 * img1], axis=0
+    )
+    b = _blur(stacked, window)
+    mu0, mu1 = b[:c], b[c : 2 * c]
     mu00 = mu0 * mu0
     mu11 = mu1 * mu1
     mu01 = mu0 * mu1
-    s00 = _blur(img0 * img0, window) - mu00
-    s11 = _blur(img1 * img1, window) - mu11
-    s01 = _blur(img0 * img1, window) - mu01
+    s00 = b[2 * c : 3 * c] - mu00
+    s11 = b[3 * c : 4 * c] - mu11
+    s01 = b[4 * c :] - mu01
     num = (2 * mu01 + c1) * (2 * s01 + c2)
     den = (mu00 + mu11 + c1) * (s00 + s11 + c2)
     return num / den

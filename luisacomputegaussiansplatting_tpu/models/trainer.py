@@ -29,14 +29,18 @@ class TrainConfig:
 
     The position (means) learning rate follows graphdeco's exponential
     decay from lr_means to lr_means_final over lr_means_decay_steps
-    (their get_expon_lr_func; scale the init/final rates by the scene
-    extent as their spatial_lr_scale does). Set lr_means_decay_steps=0
-    for a constant rate.
+    (their get_expon_lr_func), with both endpoints multiplied by
+    spatial_lr_scale — set it to the scene extent (graphdeco's
+    cameras_extent) so positions move at a world-scale-appropriate rate.
+    Set lr_means_decay_steps=0 for a constant rate.
     """
 
     lr_means: float = 1.6e-4
     lr_means_final: float = 1.6e-6
     lr_means_decay_steps: int = 30_000
+    #: graphdeco's spatial_lr_scale (scene extent); multiplies the
+    #: means lr endpoints. 1.0 = unit-scale scenes.
+    spatial_lr_scale: float = 1.0
     lr_scales: float = 5e-3
     lr_quats: float = 1e-3
     lr_opacity: float = 5e-2
@@ -52,16 +56,17 @@ def make_optimizer(tc: TrainConfig = TrainConfig()) -> optax.GradientTransformat
     def adam(lr):
         return optax.adam(lr, eps=tc.adam_eps)
 
+    sls = tc.spatial_lr_scale
     if tc.lr_means_decay_steps > 0:
         means_lr = optax.exponential_decay(
-            init_value=tc.lr_means,
+            init_value=tc.lr_means * sls,
             transition_steps=tc.lr_means_decay_steps,
             decay_rate=tc.lr_means_final / tc.lr_means,
-            end_value=tc.lr_means_final,
+            end_value=tc.lr_means_final * sls,
         )
         adam_means = optax.adam(means_lr, eps=tc.adam_eps)
     else:
-        adam_means = adam(tc.lr_means)
+        adam_means = adam(tc.lr_means * sls)
 
     labels = GaussianParams(
         means="means",
@@ -255,12 +260,17 @@ def make_batched_train_step(
     @functools.partial(jax.jit, donate_argnums=_donate())
     def step(state: TrainState, dstate, views: CameraView, targets):
         n = state.params.means.shape[0]
-        probe = jnp.zeros((n, 2), jnp.float32)
+        n_views = targets.shape[0]
+        # per-view probes: graphdeco accumulates ||dL_v/d means2d|| per
+        # VIEW; a single shared probe would yield the norm of the
+        # batch-summed gradient — understated ~B-fold (plus cross-view
+        # cancellation), silently starving densification at B > 1
+        probe = jnp.zeros((n_views, n, 2), jnp.float32)
 
         def loss_fn(params: GaussianParams, probe):
             scene = params.activate()
 
-            def one(view, target):
+            def one(view, target, pr):
                 img, aux = render_view(
                     scene.means,
                     scene.scales,
@@ -274,14 +284,14 @@ def make_batched_train_step(
                     cfg,
                     sh_degree,
                     active_mask=dstate.active,
-                    means2d_probe=probe,
+                    means2d_probe=pr,
                 )
                 return (
                     d_ssim_l1_loss(img, target, tc.ssim_weight),
                     (aux.radii, aux.overflow),
                 )
 
-            losses, (radii, overflow) = jax.vmap(one)(views, targets)
+            losses, (radii, overflow) = jax.vmap(one)(views, targets, probe)
             return jnp.mean(losses), (radii, jnp.any(overflow))
 
         (loss, (radii, overflow)), (grads, probe_grad) = jax.value_and_grad(
@@ -290,14 +300,18 @@ def make_batched_train_step(
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        # probe_grad already sums the per-view screen-space gradients
         from .densify import ndc_grad_norm
 
         visible = radii > 0  # (B, N)
-        g = ndc_grad_norm(probe_grad, width, height)
-        seen = jnp.any(visible, axis=0)
+        # probe_grad[v] = (1/B) * dL_v/d probe (the loss is the batch
+        # mean); undo the 1/B so each view's norm matches a graphdeco
+        # single-view step, then sum per-view norms
+        g = ndc_grad_norm(
+            probe_grad * jnp.float32(n_views), width, height
+        )  # (B, N)
+        g_sum = jnp.sum(jnp.where(visible, g, 0.0), axis=0)
         new_dstate = DensifyState(
-            grad_sum=dstate.grad_sum + jnp.where(seen, g, 0.0),
+            grad_sum=dstate.grad_sum + g_sum,
             count=dstate.count + jnp.sum(visible, axis=0).astype(jnp.float32),
             max_radii=jnp.maximum(dstate.max_radii, jnp.max(radii, axis=0)),
             active=dstate.active,

@@ -132,12 +132,16 @@ def make_sharded_train_step(
         dev_gs = jax.lax.axis_index(gs_axis)
         v_loc = targets.shape[0]
         p_shard = params.means.shape[0]
-        probe = jnp.zeros((p_shard, 2), jnp.float32)
+        # one probe PER local view: graphdeco accumulates per-view
+        # ||dL_v/d means2d||; a shared probe would norm the view-summed
+        # gradient (understated ~V-fold with cancellation) — same fix as
+        # models/trainer.make_batched_train_step
+        probe = jnp.zeros((v_loc, p_shard, 2), jnp.float32)
 
         def loss_fn(p: GaussianParams, probe):
             scene = p.activate()
 
-            def one_view(cam_view, target_band):
+            def one_view(cam_view, target_band, pr):
                 band, aux, radii = _render_shard(
                     scene.means,
                     scene.scales,
@@ -158,7 +162,7 @@ def make_sharded_train_step(
                     axis=gs_axis,
                     ewa_mode=ewa_mode,
                     active_mask=active,
-                    means2d_probe=probe,
+                    means2d_probe=pr,
                 )
                 l1_sum, ssim_sum = _band_photometric_sums(
                     band, target_band, dev_gs, axis=gs_axis, n_gs=n_gs,
@@ -173,7 +177,9 @@ def make_sharded_train_step(
             vis_count = jnp.zeros((p_shard,), jnp.float32)
             for v in range(v_loc):  # static, small per-device view count
                 cam_v = jax.tree.map(lambda x: x[v], cam_views)
-                l1_v, ssim_v, ov, radii = one_view(cam_v, targets[v])
+                l1_v, ssim_v, ov, radii = one_view(
+                    cam_v, targets[v], probe[v]
+                )
                 l1_tot = l1_tot + l1_v
                 ssim_tot = ssim_tot + ssim_v
                 overflow = overflow | ov
@@ -201,12 +207,17 @@ def make_sharded_train_step(
         overflow = jax.lax.psum(overflow.astype(jnp.int32), data_axis) > 0
         # densification statistics (graphdeco accumulates over every view
         # the gaussian was seen in; views live on the data axis)
-        probe_grad = jax.lax.psum(probe_grad, data_axis)
         radii_max = jax.lax.pmax(radii_max, data_axis)
         vis_count = jax.lax.psum(vis_count, data_axis)
         from ..models.densify import ndc_grad_norm
 
-        g_norm = ndc_grad_norm(probe_grad, width, height)
+        # probe_grad[v] = dL/d probe_v = (1/V) x view v's own gradient
+        # (the loss is the V-view mean, V = v_loc * n_data): undo the
+        # scaling, norm PER VIEW, sum local views, psum over data
+        g_local = ndc_grad_norm(
+            probe_grad * jnp.float32(v_loc * n_data), width, height
+        )  # (v_loc, p_shard)
+        g_norm = jax.lax.psum(jnp.sum(g_local, axis=0), data_axis)
         seen = vis_count > 0
         stats = (jnp.where(seen, g_norm, 0.0), vis_count, radii_max)
         return new_params, new_opt, step_no + 1, loss.reshape(1), overflow, stats

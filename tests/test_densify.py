@@ -76,7 +76,7 @@ def test_split_large_high_grad_retires_parent():
     new_scales = np.exp(np.asarray(new_p.log_scales))
     for r in child_rows:
         if r >= n or r == 2:
-            assert new_scales[r].max() <= 0.5 / cfg.split_scale_shrink + 1e-5
+            assert new_scales[r].max() <= 0.5 / cfg.split_shrink + 1e-5
 
 
 def test_prune_transparent():
