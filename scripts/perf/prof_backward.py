@@ -48,8 +48,11 @@ CFG = RenderConfig(max_pairs=13_000_000, tile=32, pack_mode="none",
 cam = look_at_camera((3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
                      fov=65.0, width=W, height=H)
 view = cam.to_view()
+print("prof: generating scene...", file=sys.stderr, flush=True)
 scene = random_scene(N, seed=0, extent=3.0, scale_range=(0.004, 0.02))
 means, scales, quats, opac, sh = scene.render_args()
+jax.block_until_ready(means)
+print("prof: scene ready", file=sys.stderr, flush=True)
 gx, gy = tile_grid(W, H, CFG.tile_wh)
 
 
