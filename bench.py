@@ -145,17 +145,27 @@ def run_child(name: str) -> None:
 def main():
     me = os.path.abspath(__file__)
     results = {}
+    # The axon tunnel's compile path is intermittently degraded (observed
+    # 2026-08-19: a trivial dispatch took 41 s and full-frame compiles
+    # exceeded 28 min). The timeout is env-overridable and each scale
+    # gets one retry: every sub-program compiled before the wedge (scene
+    # gen, and the frame itself once any attempt finishes it) is served
+    # from the persistent cache (/tmp/jaxcache), so retries resume ahead.
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "900"))
     for name in ("headline", "north_star"):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", me, "--child", name],
-                capture_output=True, text=True, timeout=560,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[name] = json.loads(line)
-        except Exception as e:  # timeout, crash, bad output
-            print(f"bench[{name}] failed: {e!r}", file=sys.stderr, flush=True)
-            results[name] = None
+        for attempt in (1, 2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-u", me, "--child", name],
+                    capture_output=True, text=True, timeout=child_timeout,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                results[name] = json.loads(line)
+                break
+            except Exception as e:  # timeout, crash, bad output
+                print(f"bench[{name}] attempt {attempt} failed: {e!r}",
+                      file=sys.stderr, flush=True)
+                results[name] = None
 
     head = results.get("headline")
     ns = results.get("north_star")
