@@ -142,6 +142,36 @@ def run_child(name: str) -> None:
     print(json.dumps({"px_s": WIDTH * HEIGHT / dt, "ms": dt * 1e3}))
 
 
+def _wait_device_healthy(max_wait_s: float) -> None:
+    """Poll a non-killing trivial-op probe until it completes (rc 0).
+
+    Spawned once per wedge window: killing probes is itself the wedge
+    trigger, so the probe process is never killed before max_wait_s.
+    """
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,128))+1.0).sum()))")
+    t0 = time.perf_counter()
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    while time.perf_counter() - t0 < max_wait_s:
+        rc = p.poll()
+        if rc == 0:
+            print(f"bench: device healthy after "
+                  f"{time.perf_counter() - t0:.0f}s", file=sys.stderr,
+                  flush=True)
+            return
+        if rc is not None:  # probe crashed; respawn
+            time.sleep(30)
+            p = subprocess.Popen([sys.executable, "-c", code],
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+        time.sleep(10)
+    p.kill()
+    print("bench: device still unhealthy; retrying anyway",
+          file=sys.stderr, flush=True)
+
+
 def main():
     me = os.path.abspath(__file__)
     results = {}
@@ -166,6 +196,13 @@ def main():
                 print(f"bench[{name}] attempt {attempt} failed: {e!r}",
                       file=sys.stderr, flush=True)
                 results[name] = None
+                if isinstance(e, subprocess.TimeoutExpired) and attempt == 1:
+                    # a timeout-KILLED TPU process wedges the device
+                    # 5-20 min (verify SKILL.md); wait for a trivial
+                    # dispatch to succeed before burning the retry
+                    _wait_device_healthy(
+                        float(os.environ.get("BENCH_RECOVERY_WAIT", "900"))
+                    )
 
     head = results.get("headline")
     ns = results.get("north_star")

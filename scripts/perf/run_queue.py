@@ -36,31 +36,47 @@ QUEUE = [
 ]
 
 
-def probe(timeout_s: float = 120.0) -> bool:
-    """True if a trivial TPU dispatch completes within timeout_s."""
+def wait_healthy(log, max_wait_s: float = 1800.0) -> bool:
+    """Wait for a trivial TPU dispatch to complete, without killing it.
+
+    A `timeout`-killed TPU process is itself the documented wedge
+    trigger (verify SKILL.md), so the probe is NON-KILLING: one probe
+    subprocess is spawned and polled until it finishes — however long a
+    wedge delays it — and counts as healthy whenever it completes with
+    rc 0. Only if the global max_wait_s budget is exhausted is the
+    probe killed (once), and the queue aborts anyway at that point.
+    """
     code = (
         "import jax, jax.numpy as jnp;"
         "print(float((jnp.ones((8,128))+1.0).sum()))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def wait_healthy(log, max_wait_s: float = 1800.0) -> bool:
     t0 = time.time()
+    p = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    logged = False
     while time.time() - t0 < max_wait_s:
-        if probe():
-            return True
-        log.write(f"probe failed; device wedged, waiting 120 s "
-                  f"({time.time() - t0:.0f}s elapsed)\n")
-        log.flush()
-        time.sleep(120)
+        rc = p.poll()
+        if rc is not None:
+            if rc == 0:
+                return True
+            # probe crashed (not wedged) — retry with a fresh one
+            log.write(f"probe exited rc={rc}; retrying in 30 s\n")
+            log.flush()
+            time.sleep(30)
+            p = subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            continue
+        if time.time() - t0 > 60 and not logged:
+            log.write("probe still running >60 s: device wedged, "
+                      "waiting for it to complete (non-killing)\n")
+            log.flush()
+            logged = True
+        time.sleep(10)
+    p.kill()
     return False
 
 
@@ -76,9 +92,12 @@ def main() -> None:
         log.write(f"\n=== perf queue run {time.strftime('%F %T')} ===\n")
         for name, argv in QUEUE:
             if not wait_healthy(log):
-                log.write(f"{name}: SKIPPED (device never became healthy)\n")
+                # a dead tunnel stays dead for every remaining stage;
+                # abort the whole queue rather than cycling probes
+                log.write(f"{name}: device never became healthy — "
+                          f"ABORTING remaining stages\n")
                 log.flush()
-                continue
+                break
             log.write(f"--- {name}: {' '.join(argv)}\n")
             log.flush()
             t0 = time.time()
@@ -92,10 +111,19 @@ def main() -> None:
                 if r.returncode != 0:
                     log.write(f"{name}: EXIT {r.returncode}\n"
                               + r.stderr[-1000:])
-            except subprocess.TimeoutExpired:
+            except subprocess.TimeoutExpired as e:
+                # partial output distinguishes slow-compile from wedge
+                def _tail(b):
+                    if b is None:
+                        return ""
+                    if isinstance(b, bytes):
+                        b = b.decode(errors="replace")
+                    return b[-1500:]
                 log.write(f"{name}: TIMEOUT after "
                           f"{time.time() - t0:.0f}s (killed; next stage "
-                          f"waits for recovery)\n")
+                          f"waits for recovery)\n"
+                          f"  partial stdout: {_tail(e.stdout)}\n"
+                          f"  partial stderr: {_tail(e.stderr)}\n")
             log.write(f"{name}: {time.time() - t0:.0f}s wall\n")
             log.flush()
         log.write("=== queue done ===\n")
