@@ -263,11 +263,15 @@ def main(argv=None):
     pad_targets_fn = None
     if mesh is not None:
         from ..config import CHUNK
-        from ..parallel.render_sharded import ShardedRenderConfig
+        from ..parallel.render_sharded import (
+            ShardedRenderConfig, derive_exchange_capacity,
+        )
 
         mpl = args.max_pairs_local or max(args.max_pairs // n_gs, CHUNK)
         mpl = -(-mpl // CHUNK) * CHUNK
-        bcap = args.exchange_capacity or mpl
+        # skew-derived default (measured bucket skew, BASELINE.md r4);
+        # overflow still auto-doubles via grow_capacity below
+        bcap = args.exchange_capacity or derive_exchange_capacity(mpl, n_gs)
         bcap = -(-bcap // CHUNK) * CHUNK
         scfg = ShardedRenderConfig(max_pairs_local=mpl, exchange_capacity=bcap)
     bg = (1.0, 1.0, 1.0) if args.bg == "white" else (0.0, 0.0, 0.0)

@@ -52,8 +52,29 @@ class ShardedRenderConfig:
 
     #: expansion capacity per device (entries its local gaussians emit).
     max_pairs_local: int = 1_000_000
-    #: bucket capacity per (source, destination) device pair.
-    exchange_capacity: int = 262_144
+    #: bucket capacity per (source, destination) device pair. ``None``
+    #: auto-derives from max_pairs_local (see derive_exchange_capacity).
+    exchange_capacity: int | None = None
+    #: skew headroom of the auto-derivation: a bucket may hold up to
+    #: ``skew * max_pairs_local / ndev`` entries before overflowing.
+    #: The measured (src, dst) bucket skew of the 6M north-star scene is
+    #: <= 2.4 at ndev <= 16 (BASELINE.md round 4, scripts/perf/
+    #: exchange_skew.py); 3.0 covers it with margin. Overflow is still
+    #: flagged (aux.overflow) and train_cli auto-doubles on it.
+    exchange_skew: float = 3.0
+
+
+def derive_exchange_capacity(
+    max_pairs_local: int, ndev: int, skew: float = 3.0
+) -> int:
+    """Bucket capacity so total exchange buffer = skew * max_pairs_local
+    rows per chip: an even tile distribution fills buckets to
+    max_pairs_local / ndev; real scenes concentrate entries in central
+    tile bands, measured <= 2.4x the even share at the 6M north-star
+    config (exchange_skew.py). Always >= CHUNK and CHUNK-aligned (the
+    rasterizer reads CHUNK-aligned slices)."""
+    even = -(-max_pairs_local // ndev)
+    return max(_round_up(int(even * skew), CHUNK), CHUNK)
 
 
 class _ShardAux(NamedTuple):
@@ -96,6 +117,13 @@ def render_sharded(
         width, height = camera.width, camera.height
         camera = camera.to_view()
     ndev = mesh.shape[axis]
+    if scfg.exchange_capacity is None:
+        scfg = dataclasses.replace(
+            scfg,
+            exchange_capacity=derive_exchange_capacity(
+                scfg.max_pairs_local, ndev, scfg.exchange_skew
+            ),
+        )
     _validate_sharded_cfg(cfg, scfg)
     grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
     rows_per_dev = -(-grid_y // ndev)

@@ -35,7 +35,9 @@ from ..models.losses import ssim_map
 from ..models.trainer import TrainConfig, TrainState, make_optimizer
 from ..ops.projection import tile_grid
 from ..utils.camera import CameraView
-from .render_sharded import ShardedRenderConfig, _render_shard
+from .render_sharded import (
+    ShardedRenderConfig, _render_shard, derive_exchange_capacity,
+)
 
 try:
     from jax import shard_map
@@ -116,6 +118,15 @@ def make_sharded_train_step(
 
     n_data = mesh.shape[data_axis]
     n_gs = mesh.shape[gs_axis]
+    if scfg.exchange_capacity is None:
+        import dataclasses
+
+        scfg = dataclasses.replace(
+            scfg,
+            exchange_capacity=derive_exchange_capacity(
+                scfg.max_pairs_local, n_gs, scfg.exchange_skew
+            ),
+        )
     tile_w, tile_h = cfg.tile_wh
     grid_x, grid_y = tile_grid(width, height, cfg.tile_wh)
     rows_per_dev = -(-grid_y // n_gs)

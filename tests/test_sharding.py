@@ -479,3 +479,33 @@ def test_sharded_train_step_has_no_scatter(scene):
         if " scatter(" in ln and ("f32[" in ln or "bf16[" in ln)
     ]
     assert not scatters, scatters
+
+
+def test_exchange_capacity_auto_derivation(scene):
+    """exchange_capacity=None derives a CHUNK-aligned skew-headroom
+    default from max_pairs_local (BASELINE.md round-4 skew measurement)
+    and renders identically to an explicit capacity."""
+    from luisacomputegaussiansplatting_tpu.config import CHUNK
+    from luisacomputegaussiansplatting_tpu.parallel.render_sharded import (
+        derive_exchange_capacity,
+    )
+
+    # derivation: total buffer = skew * max_pairs_local rows, aligned
+    for mpl, ndev, skew in ((8192, 8, 3.0), (1_000_000, 16, 3.0),
+                            (100, 8, 1.0)):
+        cap = derive_exchange_capacity(mpl, ndev, skew)
+        assert cap % CHUNK == 0 and cap >= CHUNK
+        assert cap >= -(-mpl // ndev) * skew - CHUNK
+
+    mesh = make_mesh((8,), ("gs",))
+    auto = ShardedRenderConfig(max_pairs_local=8192)
+    assert auto.exchange_capacity is None
+    img_a, aux = render_sharded(
+        *scene.render_args(), CAM, mesh, cfg=CFG, scfg=auto
+    )
+    assert not bool(aux.overflow)
+    img_e, _ = render_sharded(
+        *scene.render_args(), CAM, mesh, cfg=CFG, scfg=SCFG
+    )
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_e),
+                               atol=2e-5)
