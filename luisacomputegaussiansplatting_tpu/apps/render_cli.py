@@ -93,6 +93,9 @@ def build_parser():
                         "opacity+rgb through the capacity gather as bf16 "
                         "(~2x cheaper gather; rounding below the 1/255 "
                         "output quantisation)")
+    p.add_argument("--save-raw", type=str, default=None,
+                   help="also save the float (3,H,W) frame as .npy "
+                        "(exact cross-platform comparisons)")
     return p
 
 
@@ -187,6 +190,9 @@ def main(argv=None):
     out_path = os.path.join(args.out, f"{name}_{jax.default_backend()}.png")
     write_png(out_path, np.asarray(img))
     print(f"result saved in {out_path}")
+    if args.save_raw:
+        np.save(args.save_raw, np.asarray(img, np.float32))
+        print(f"raw frame saved in {args.save_raw}")
     return 0
 
 

@@ -101,29 +101,32 @@ def main() -> None:
             log.write(f"--- {name}: {' '.join(argv)}\n")
             log.flush()
             t0 = time.time()
+            # child output streams to its own file (NOT a pipe): during
+            # a degraded-window stage the incremental compile/progress
+            # lines are the diagnostic that distinguishes slow-compile
+            # from wedge, and they survive a timeout kill
+            stage_log = f"{args.log}.{name}"
             try:
-                r = subprocess.run(
-                    [sys.executable, "-u", *argv],
-                    capture_output=True, text=True,
-                    timeout=args.stage_timeout,
-                )
-                log.write(r.stdout[-2000:])
+                with open(stage_log, "a") as sl:
+                    r = subprocess.run(
+                        [sys.executable, "-u", *argv],
+                        stdout=sl, stderr=subprocess.STDOUT,
+                        timeout=args.stage_timeout,
+                    )
+                tail = open(stage_log).read()[-2000:]
+                log.write(tail)
                 if r.returncode != 0:
-                    log.write(f"{name}: EXIT {r.returncode}\n"
-                              + r.stderr[-1000:])
-            except subprocess.TimeoutExpired as e:
-                # partial output distinguishes slow-compile from wedge
-                def _tail(b):
-                    if b is None:
-                        return ""
-                    if isinstance(b, bytes):
-                        b = b.decode(errors="replace")
-                    return b[-1500:]
+                    log.write(f"{name}: EXIT {r.returncode}\n")
+            except subprocess.TimeoutExpired:
+                tail = ""
+                try:
+                    tail = open(stage_log).read()[-1500:]
+                except OSError:
+                    pass
                 log.write(f"{name}: TIMEOUT after "
                           f"{time.time() - t0:.0f}s (killed; next stage "
                           f"waits for recovery)\n"
-                          f"  partial stdout: {_tail(e.stdout)}\n"
-                          f"  partial stderr: {_tail(e.stderr)}\n")
+                          f"  partial output: {tail}\n")
             log.write(f"{name}: {time.time() - t0:.0f}s wall\n")
             log.flush()
         log.write("=== queue done ===\n")

@@ -320,6 +320,57 @@ def stage_eval(root, quick, platform=None):
     })
 
 
+def stage_parity(root, quick, platform=None):
+    """Strict-parity full-res render of the trained model through the
+    ACTUAL render CLI (the user-facing path): tile=16 / 2-key sort /
+    f32 payload / chunk pack / --ewa lcgs at the reference app's
+    1600x1063 (app/main.cpp:38), once on the default platform (TPU when
+    available) and once on CPU; the two float frames must allclose.
+    This is the strongest in-env proxy for test_reference_scenes.py
+    (the reference's release PLYs are not downloadable here), per
+    reference README.md:51-65 + doc/mip360_bicycle_30000_cuda.png."""
+    import glob
+    import subprocess
+
+    plys = sorted(glob.glob(os.path.join(root, "fit", "*.ply")))
+    ply = plys[-1] if plys else os.path.join(root, "gt.ply")
+    res = "400x266" if quick else f"{REF_W}x{REF_H}"
+    # one eval-ring pose (matches camera_ring(height=2.2, radius=4.6) i=0)
+    base = [
+        sys.executable, "-u", "-m",
+        "luisacomputegaussiansplatting_tpu.apps.render_cli",
+        "--ply", ply, "--res", res, "--world", "blender",
+        "--cam-pos", "4.6,0,2.2", "--cam-target", "0,0,0.5",
+        "--fov", str(FOV_Y), "--tile", "16", "--sort", "2key",
+        "--payload", "f32", "--pack", "chunk", "--ewa", "lcgs",
+        "--max-pairs", "300000" if quick else "6000000",
+        "--exp_N", "3", "--out", os.path.join(root, "parity"),
+    ]
+    outs = {}
+    for plat in ([platform] if platform else [None, "cpu"]):
+        raw = os.path.join(root, f"parity_{plat or 'dev'}.npy")
+        argv = base + ["--save-raw", raw]
+        if plat:
+            argv += ["--platform", plat]
+        r = subprocess.run(argv, capture_output=True, text=True,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        print(r.stdout + r.stderr[-500:], file=sys.stderr)
+        assert r.returncode == 0, f"render_cli failed on {plat}"
+        fps = [ln for ln in r.stdout.splitlines() if "fps:" in ln]
+        outs[plat or "dev"] = {"raw": raw, "fps_line": fps[-1] if fps else ""}
+    data = {"ply": ply, "res": res, **{k: v["fps_line"] for k, v in outs.items()}}
+    if len(outs) == 2:
+        a = np.load(outs["dev"]["raw"])
+        b = np.load(outs["cpu"]["raw"])
+        mad = float(np.abs(a - b).max())
+        mean_ad = float(np.abs(a - b).mean())
+        print(f"parity dev-vs-cpu @ {res}: max|diff|={mad:.3e} "
+              f"mean={mean_ad:.3e}", file=sys.stderr)
+        data.update({"max_abs_diff": mad, "mean_abs_diff": mean_ad})
+    report(root, "parity", data)
+
+
 def report(root, stage, data):
     path = os.path.join(root, "proof_report.json")
     rep = json.load(open(path)) if os.path.exists(path) else {}
@@ -330,7 +381,7 @@ def report(root, stage, data):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("stage", choices=["gen", "train", "eval"])
+    ap.add_argument("stage", choices=["gen", "train", "eval", "parity"])
     ap.add_argument("--root", default="/tmp/proofscene")
     ap.add_argument("--quick", action="store_true", help="tiny CPU run")
     ap.add_argument("--platform", default=None,
@@ -357,5 +408,7 @@ if __name__ == "__main__":
                     capacity=a.capacity, init_points=a.init_points,
                     densify_interval=a.densify_interval,
                     extra=tuple(shlex.split(a.train_extra)))
+    elif a.stage == "parity":
+        stage_parity(a.root, a.quick, a.platform)
     else:
         stage_eval(a.root, a.quick, a.platform)
