@@ -13,9 +13,19 @@ matmul on the MXU:
     sel[s, r]  = (start_r <= slot_s) & (slot_s < end_r)   # disjoint
     vals[:, s] = table_window @ sel^T                     # (F, W) @ (W, S)
 
-The one-hot gather is BIT-EXACT for f32 values under Precision.HIGHEST:
-a value splits into three bf16 terms of strictly decreasing magnitude
-whose selected products re-sum exactly in f32.
+The one-hot gather is BIT-EXACT for f32 values: each value is pre-split
+XLA-side into three bf16 terms of strictly decreasing magnitude, stored
+as 3*nf table rows, so ONE bf16 matmul per subwindow reconstructs the
+f32 fields exactly (the three selected parts re-sum exactly in f32).
+3*nf <= 48 rows pad to the MXU's 128 anyway — one fused pass costs the
+same MXU time as one nf-row pass and a third of the round-2 design's
+three sequential HIGHEST-style passes.
+
+Each grid step processes ``g`` consecutive output chunks (g * s slots):
+per-grid-step fixed overhead (~µs on real TPUs) dominated the round-2/3
+kernel at 25K steps (81 ms measured vs ~26 ms compute model,
+BASELINE.md round 4); g amortises it without growing the (s, w) sel
+matmul that bounds VPU/MXU work per subwindow.
 
 Slot offsets ride as (hi = offset >> 12, lo = offset & 4095) f32 pairs
 and every comparison happens on CHUNK-RELATIVE values (offset - c*S),
@@ -50,9 +60,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: output slots per grid step / table rows per streamed subwindow
+#: output slots per chunk / table rows per streamed subwindow / chunks
+#: per grid step (g * s slots per step)
 S = 512
 W = 512
+G = 8
 
 _F32_EXACT = 1 << 24
 _SPLIT = 4096  # offset = hi * _SPLIT + lo, both f32-exact
@@ -118,11 +130,11 @@ def ellipse_tile_reaches(mx, my, ca, cb, cc, op, x0, x1, y0, y1,
 
 
 def _expand_kernel(
-    row_lo_ref,  # (n_chunks,) int32 prefetch: 128-aligned first table row
-    n_sub_ref,  # (n_chunks,) int32 prefetch: subwindows to stream
-    table_hbm,  # (nf, P_pad) f32 field-major gaussian table
-    out_ref,  # (1, 8, S) f32 out: rows [tile_id, depth, gid, pad...]
-    buf,  # (2, nf, W) VMEM scratch
+    row_lo_ref,  # (n_chunks_pad,) int32 prefetch: 128-aligned first row
+    n_sub_ref,  # (n_chunks_pad,) int32 prefetch: subwindows to stream
+    table_hbm,  # (3*nf, P_pad) bf16 split-part gaussian table
+    out_ref,  # (g, 8, S) f32 out: rows [tile_id, depth, gid, pad...]
+    buf,  # (2, 3*nf, W) VMEM scratch
     sems,  # (2,) DMA semaphores
     *,
     grid_x: int,
@@ -134,119 +146,131 @@ def _expand_kernel(
     alpha_min: float,
     s: int = S,
     w: int = W,
+    g: int = G,
 ):
-    c = pl.program_id(0)
-    lo = row_lo_ref[c]
-    n_sub = n_sub_ref[c]
-    # chunk base split (exact int32 scalars -> exact small f32 parts)
-    cbase = c * s
-    cs_hi = (cbase // _SPLIT).astype(jnp.float32)
-    cs_lo = (cbase % _SPLIT).astype(jnp.float32)
+    step = pl.program_id(0)
     i_slot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(
         jnp.float32
     )  # (s, 1) chunk-relative slot index in [0, s)
 
-    def dma(sw):
-        slot_b = jax.lax.rem(sw, 2)
-        off = pl.multiple_of(lo + sw * w, 128)
-        return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(off, w)], buf.at[slot_b], sems.at[slot_b]
-        )
+    for gi in range(g):
+        c = step * g + gi
+        lo = row_lo_ref[c]
+        n_sub = n_sub_ref[c]
+        # chunk base split (exact int32 scalars -> exact small f32 parts)
+        cbase = c * s
+        cs_hi = (cbase // _SPLIT).astype(jnp.float32)
+        cs_lo = (cbase % _SPLIT).astype(jnp.float32)
 
-    @pl.when(n_sub > 0)
-    def _():
-        dma(0).start()
+        def dma(sw, lo=lo):
+            slot_b = jax.lax.rem(sw, 2)
+            off = pl.multiple_of(lo + sw * w, 128)
+            return pltpu.make_async_copy(
+                table_hbm.at[:, pl.ds(off, w)], buf.at[slot_b],
+                sems.at[slot_b],
+            )
 
-    def rel(hi, lo_):
-        # chunk-relative offset: exact in f32 wherever the interval
-        # compare is in doubt (|rel| < ~num_tiles there); far-away rows
-        # may round but keep their sign side
-        return (hi - cs_hi) * float(_SPLIT) + (lo_ - cs_lo)
-
-    def body(sw, vals):
-        @pl.when(sw + 1 < n_sub)
+        @pl.when(n_sub > 0)
         def _():
-            dma(sw + 1).start()
+            dma(0).start()
 
-        dma(sw).wait()
-        cur = buf[jax.lax.rem(sw, 2)]  # (nf, W)
-        rel_start = rel(cur[0:1, :], cur[1:2, :])  # (1, W)
-        rel_end = rel(cur[2:3, :], cur[3:4, :])
-        # interval membership: each slot claimed by at most one row
-        # (intervals are disjoint; zero-extent rows claim nothing)
-        sel = jnp.logical_and(rel_start <= i_slot, i_slot < rel_end).astype(
-            jnp.bfloat16
-        )
-        # (nf, W) @ (W, S) contraction on the MXU = the row "gather".
-        # sel is EXACTLY {0, 1} so only the table side needs splitting:
-        # three bf16 terms of disjoint mantissa ranges re-sum exactly in
-        # the f32 accumulator (each slot selects exactly one row, so no
-        # cross-row accumulation blurs the reconstruction). Manual
-        # one-side split = 3 MXU passes; Precision.HIGHEST would split
-        # BOTH operands for 6.
-        t0 = cur.astype(jnp.bfloat16)
-        r1 = cur - t0.astype(jnp.float32)
-        t1 = r1.astype(jnp.bfloat16)
-        t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
-        for t in (t0, t1, t2):
-            vals = vals + jax.lax.dot_general(
-                t,
+        def rel(hi, lo_, cs_hi=cs_hi, cs_lo=cs_lo):
+            # chunk-relative offset: exact in f32 wherever the interval
+            # compare is in doubt (|rel| < ~num_tiles there); far-away
+            # rows may round but keep their sign side
+            return (hi - cs_hi) * float(_SPLIT) + (lo_ - cs_lo)
+
+        def body(sw, v3, dma=dma, rel=rel, n_sub=n_sub):
+            @pl.when(sw + 1 < n_sub)
+            def _():
+                dma(sw + 1).start()
+
+            dma(sw).wait()
+            cur = buf[jax.lax.rem(sw, 2)]  # (3*nf, W) bf16 parts
+            # start/end offsets reconstructed exactly: the three bf16
+            # parts of each value re-sum exactly in f32
+            def row(r):
+                return (
+                    cur[r : r + 1, :].astype(jnp.float32)
+                    + cur[nf + r : nf + r + 1, :].astype(jnp.float32)
+                    + cur[2 * nf + r : 2 * nf + r + 1, :].astype(
+                        jnp.float32
+                    )
+                )
+
+            rel_start = rel(row(0), row(1))  # (1, W)
+            rel_end = rel(row(2), row(3))
+            # interval membership: each slot claimed by at most one row
+            # (intervals are disjoint; zero-extent rows claim nothing)
+            sel = jnp.logical_and(
+                rel_start <= i_slot, i_slot < rel_end
+            ).astype(jnp.bfloat16)
+            # ONE (3*nf, W) @ (W, S) bf16 contraction on the MXU = the
+            # row "gather" of all three split parts at once. sel is
+            # EXACTLY {0, 1}; each slot selects exactly one row, so the
+            # per-part products are exact in the f32 accumulator and
+            # the three part-blocks re-sum exactly below. 3*nf <= 48
+            # rows pad to the MXU's 128 regardless — one pass costs
+            # what one nf-row pass does.
+            return v3 + jax.lax.dot_general(
+                cur,
                 sel,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (nf, S)
-        return vals
+            )  # (3*nf, S)
 
-    vals = jax.lax.fori_loop(
-        0, n_sub, body, jnp.zeros((nf, s), jnp.float32), unroll=False
-    )
-
-    i_t = i_slot.reshape(1, s)
-    rel_start_s = rel(vals[0:1, :], vals[1:2, :])  # (1, S)
-    rel_end_s = rel(vals[2:3, :], vals[3:4, :])
-    # unmatched slots gathered all-zero rows: rel_end = -cbase <= i fails
-    # the test for every chunk (i >= 0), so end doubles as the match flag
-    matched = i_t < rel_end_s
-    minxy = vals[4:5, :]
-    rect_w = vals[5:6, :]
-    depth = vals[6:7, :]
-    rowid = vals[7:8, :]
-
-    local = i_t - rel_start_s
-    safe_w = jnp.maximum(rect_w, 1.0)
-    # float int division is exact-floor here: operands are exact ints and
-    # the quotient is < 2^13 with remainder/divisor bounded away from 1
-    ty = jnp.floor(local / safe_w)
-    tx = local - ty * safe_w
-    min_y = jnp.floor(minxy / float(_SPLIT))
-    min_x = minxy - min_y * float(_SPLIT)
-    tile_x = min_x + tx
-    tile_y = min_y + ty
-    tile_id = tile_x + tile_y * grid_x
-
-    if cull:
-        # exact ellipse-tile cull: same shared helper as the XLA path
-        mx, my = vals[8:9, :], vals[9:10, :]
-        ca, cb, cc = vals[10:11, :], vals[11:12, :], vals[12:13, :]
-        op = vals[13:14, :]
-        x0 = tile_x * tile_w
-        x1 = x0 + (tile_w - 1)
-        y0 = tile_y * tile_h
-        y1 = y0 + (tile_h - 1)
-        matched = matched & ellipse_tile_reaches(
-            mx, my, ca, cb, cc, op, x0, x1, y0, y1, alpha_min
+        v3 = jax.lax.fori_loop(
+            0, n_sub, body, jnp.zeros((3 * nf, s), jnp.float32),
+            unroll=False,
         )
+        vals = v3[:nf] + v3[nf : 2 * nf] + v3[2 * nf :]  # exact f32
 
-    pad = jnp.zeros((5, s), jnp.float32)
-    out_ref[0] = jnp.concatenate(
-        [
-            jnp.where(matched, tile_id, float(num_tiles)),
-            jnp.where(matched, depth, jnp.inf),
-            jnp.where(matched, rowid, -1.0),
-            pad,
-        ],
-        axis=0,
-    )
+        i_t = i_slot.reshape(1, s)
+        rel_start_s = rel(vals[0:1, :], vals[1:2, :])  # (1, S)
+        rel_end_s = rel(vals[2:3, :], vals[3:4, :])
+        # unmatched slots gathered all-zero rows: rel_end = -cbase <= i
+        # fails for every chunk (i >= 0), so end doubles as match flag
+        matched = i_t < rel_end_s
+        minxy = vals[4:5, :]
+        rect_w = vals[5:6, :]
+        depth = vals[6:7, :]
+        rowid = vals[7:8, :]
+
+        local = i_t - rel_start_s
+        safe_w = jnp.maximum(rect_w, 1.0)
+        # float int division is exact-floor here: operands are exact
+        # ints; quotient < 2^13, remainder/divisor bounded away from 1
+        ty = jnp.floor(local / safe_w)
+        tx = local - ty * safe_w
+        min_y = jnp.floor(minxy / float(_SPLIT))
+        min_x = minxy - min_y * float(_SPLIT)
+        tile_x = min_x + tx
+        tile_y = min_y + ty
+        tile_id = tile_x + tile_y * grid_x
+
+        if cull:
+            # exact ellipse-tile cull: same shared helper as XLA path
+            mx, my = vals[8:9, :], vals[9:10, :]
+            ca, cb, cc = vals[10:11, :], vals[11:12, :], vals[12:13, :]
+            op = vals[13:14, :]
+            x0 = tile_x * tile_w
+            x1 = x0 + (tile_w - 1)
+            y0 = tile_y * tile_h
+            y1 = y0 + (tile_h - 1)
+            matched = matched & ellipse_tile_reaches(
+                mx, my, ca, cb, cc, op, x0, x1, y0, y1, alpha_min
+            )
+
+        pad = jnp.zeros((5, s), jnp.float32)
+        out_ref[gi] = jnp.concatenate(
+            [
+                jnp.where(matched, tile_id, float(num_tiles)),
+                jnp.where(matched, depth, jnp.inf),
+                jnp.where(matched, rowid, -1.0),
+                pad,
+            ],
+            axis=0,
+        )
 
 
 def expand_entries_pallas(
@@ -260,14 +284,16 @@ def expand_entries_pallas(
     interpret: bool = False,
     s: int = S,
     w: int = W,
+    g: int = G,
 ):
     """Pallas expansion; same contract as binning.expand_entries,
     including the optional exact ellipse-tile cull (``opacities``).
 
-    s, w: output slots per grid step / streamed table rows per
-    subwindow. Larger s amortises the per-grid-step overhead (~25K
-    steps at s=512 for a 13M capacity); w scales with s so one
-    subwindow still usually covers a chunk's contiguous row span.
+    s, w, g: output slots per chunk / streamed table rows per
+    subwindow / chunks per grid step. g amortises the per-grid-step
+    fixed overhead (the dominant cost of the round-2/3 kernel at ~25K
+    steps for a 13M capacity, BASELINE.md round 4) without growing the
+    (s, w) sel matmul; w bounds how much of the table streams per DMA.
 
     Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
     slots have tile_id == num_tiles, depth == +inf, gid == -1.
@@ -281,6 +307,8 @@ def expand_entries_pallas(
     # the hint and would not catch it)
     if w % 128 or s % 128:
         raise ValueError(f"s ({s}) and w ({w}) must be multiples of 128")
+    if g < 1:
+        raise ValueError(f"g ({g}) must be >= 1")
     # expansion is structural (sort keys + indices): no gradients flow
     # through it, and pallas_call has no JVP rule — cut the tangent path
     proj = jax.tree.map(jax.lax.stop_gradient, proj)
@@ -298,7 +326,6 @@ def expand_entries_pallas(
     total = _saturate_total(total, counts)
 
     n_chunks = -(-max_pairs // s)
-    l_pad = n_chunks * s
 
     def split(x):
         return x // _SPLIT, x % _SPLIT
@@ -338,43 +365,59 @@ def expand_entries_pallas(
     table = jnp.concatenate(
         [table, jnp.zeros((nf, w + 128), jnp.float32)], axis=1
     )
+    # exact 3-term bf16 split, laid out as 3*nf part-rows: the kernel's
+    # single bf16 matmul reconstructs f32 fields exactly (part products
+    # are exact; the three part-blocks re-sum exactly in f32)
+    p0 = table.astype(jnp.bfloat16)
+    r1 = table - p0.astype(jnp.float32)
+    p1 = r1.astype(jnp.bfloat16)
+    p2 = (r1 - p1.astype(jnp.float32)).astype(jnp.bfloat16)
+    table3 = jnp.concatenate([p0, p1, p2], axis=0)  # (3*nf, P_pad) bf16
 
-    # per-chunk contiguous row spans (two searchsorteds, XLA-side)
-    bounds_lo = jnp.arange(n_chunks, dtype=jnp.int32) * s
+    n_groups = -(-n_chunks // g)
+    n_chunks_pad = n_groups * g
+
+    # per-chunk contiguous row spans (two searchsorteds, XLA-side);
+    # padding chunks (c >= n_chunks) stream nothing and emit sentinels
+    bounds_lo = jnp.arange(n_chunks_pad, dtype=jnp.int32) * s
     bounds_hi = bounds_lo + s
     lo = jnp.searchsorted(ends, bounds_lo, side="right").astype(jnp.int32)
     hi = jnp.searchsorted(starts, bounds_hi, side="left").astype(jnp.int32)
     lo_al = (lo // 128) * 128
     n_sub = jnp.maximum(-(-(hi - lo_al) // w), 0).astype(jnp.int32)
+    n_sub = jnp.where(
+        jnp.arange(n_chunks_pad) < n_chunks, n_sub, 0
+    ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(n_groups,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, s), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
+            (g, 8, s), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, nf, w), jnp.float32),
+            pltpu.VMEM((2, 3 * nf, w), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _expand_kernel, grid_x=grid_x, num_tiles=num_tiles, nf=nf,
         cull=cull, tile_w=tw, tile_h=th, alpha_min=alpha_min, s=s, w=w,
+        g=g,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_chunks, 8, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks_pad, 8, s), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(lo_al, n_sub, table)
+    )(lo_al, n_sub, table3)
 
     # rows 0..2 hold [tile_id, depth, gid] as f32 (ints < 2^24 are exact)
-    tile_id = out[:, 0, :].reshape(l_pad)[:max_pairs].astype(jnp.int32)
-    depth = out[:, 1, :].reshape(l_pad)[:max_pairs]
-    gid = out[:, 2, :].reshape(l_pad)[:max_pairs].astype(jnp.int32)
+    tile_id = out[:, 0, :].reshape(-1)[:max_pairs].astype(jnp.int32)
+    depth = out[:, 1, :].reshape(-1)[:max_pairs]
+    gid = out[:, 2, :].reshape(-1)[:max_pairs].astype(jnp.int32)
     return tile_id, depth, gid, total

@@ -51,8 +51,9 @@ gx, gy = tile_grid(W, H, CFG.tile_wh)
 num_tiles = gx * gy
 
 
+# explicit args (closed-over arrays embed as HLO constants -> tunnel 413)
 @jax.jit
-def buckets():
+def buckets(means, scales, quats, opac):
     proj = project_gaussians(means, scales, quats, view, CFG,
                              width=W, height=H)
     tile_id, depth, gid, total = expand_entries_auto(
@@ -74,7 +75,7 @@ def buckets():
 
 
 t0 = time.perf_counter()
-o = jax.tree.map(np.asarray, buckets())
+o = jax.tree.map(np.asarray, buckets(means, scales, quats, opac))
 print(f"computed in {time.perf_counter()-t0:.0f}s  "
       f"total={o['total']} valid={o['valid']}", flush=True)
 for ndev in (2, 4, 8, 16):

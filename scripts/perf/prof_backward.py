@@ -113,12 +113,15 @@ def precompute():
 def stage_fwd(cfg=None, tag=""):
     cfg = cfg or CFG
 
-    def f(salt, m):
-        img, aux = render_aux(m, scales, quats, opac, sh, cam,
+    # every big array is an explicit argument: closed-over device arrays
+    # embed as HLO constants and the tunnel's remote_compile rejects the
+    # oversized body (HTTP 413) at 6M scale
+    def f(salt, m, s, q, o, shc):
+        img, aux = render_aux(m, s, q, o, shc, cam,
                               bg_color=jnp.zeros(3) + salt, cfg=cfg)
         return img
 
-    timeit(f"fwd{tag}", f, (means,))
+    timeit(f"fwd{tag}", f, (means, scales, quats, opac, sh))
 
 
 def stage_fwd_r2():
@@ -136,15 +139,15 @@ def stage_total(method="ride"):
 
     cfg = dataclasses.replace(CFG, grad_reduce_method=method)
 
-    def f(salt, m):
+    def f(salt, m, s, q, o, shc):
         def loss(mm):
-            img, aux = render_aux(mm, scales, quats, opac, sh, cam,
+            img, aux = render_aux(mm, s, q, o, shc, cam,
                                   bg_color=jnp.zeros(3) + salt, cfg=cfg)
             return jnp.sum(img)
 
         return jax.grad(loss)(m)
 
-    timeit(f"total_fwd_bwd[{method}]", f, (means,))
+    timeit(f"total_fwd_bwd[{method}]", f, (means, scales, quats, opac, sh))
 
 
 def stage_rast():
@@ -152,12 +155,11 @@ def stage_rast():
     payload = jax.jit(build_payload, static_argnums=(4, 5))(
         proj, colors, opac, binned, CFG.grad_reduce_dtype, CFG.payload_dtype
     )
-    d_img = jnp.ones((3, H, W), jnp.float32)
 
-    def f(salt, pl):
+    def f(salt, pl, starts, counts):
         def g(p):
             color, trans = rasterize_tiles(
-                p, binned.tile_starts, binned.tile_counts, gx, W, H, CFG
+                p, starts, counts, gx, W, H, CFG
             )
             img_c, img_t = _tiles_to_image(color, trans, gx, gy, W, H,
                                            CFG.tile_wh)
@@ -165,7 +167,8 @@ def stage_rast():
 
         return jax.grad(g)(pl)
 
-    timeit("rast_bwd", f, (payload,))
+    timeit("rast_bwd", f,
+           (payload, binned.tile_starts, binned.tile_counts))
 
 
 def stage_reduce(method="ride"):
@@ -189,32 +192,32 @@ def stage_reduce(method="ride"):
     cap = binned.entry_gid.shape[0]
     d_payload = jnp.ones((16, cap), jnp.float32)
 
-    def f(salt, tb):
+    def f(salt, tb, gid, d_pl):
         def g(t):
             pl = render_mod.gather_payload(
-                t, binned.entry_gid, t.shape[0],
+                t, gid, t.shape[0],
                 CFG.grad_reduce_dtype, CFG.payload_dtype,
             )
-            return jnp.vdot(pl, d_payload * (1.0 + salt))
+            return jnp.vdot(pl, d_pl * (1.0 + salt))
 
         return jax.grad(g)(tb)
 
-    timeit(f"reduce_bwd[{method}]", f, (table,))
+    timeit(f"reduce_bwd[{method}]", f, (table, binned.entry_gid, d_payload))
 
 
 def stage_params():
     d_table = jnp.ones((N, 9), jnp.float32)
 
-    def f(salt, m, s, q, o, shc):
+    def f(salt, m, s, q, o, shc, d_t):
         def g(mm, ss, qq, oo, sc):
             colors = compute_colors(mm, sc, view.position, 3)
             proj = project_gaussians(mm, ss, qq, view, CFG, width=W, height=H)
             t = payload_table(proj, colors, oo)
-            return jnp.vdot(t, d_table * (1.0 + salt))
+            return jnp.vdot(t, d_t * (1.0 + salt))
 
         return jax.grad(g, argnums=(0, 1, 2, 3, 4))(m, s, q, o, shc)
 
-    timeit("params_bwd", f, (means, scales, quats, opac, sh))
+    timeit("params_bwd", f, (means, scales, quats, opac, sh, d_table))
 
 
 if __name__ == "__main__":

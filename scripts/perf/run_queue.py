@@ -22,17 +22,24 @@ import time
 
 HERE = "/root/repo/scripts/perf"
 
-# (name, argv) — ordered so later stages reuse earlier compile-cache hits
+# (name, argv) — ordered cheapest-compile-first: stage-isolated jits
+# compile far more reliably than the big fused fwd+bwd graph (verify
+# SKILL.md), identical sub-jits (scene gen, precompute) land in the
+# persistent cache for later stages, and the most expensive compile
+# ('total') runs last when everything it can reuse is already cached.
 QUEUE = [
-    ("total_rowgather", [f"{HERE}/prof_backward.py", "total", "rowgather"]),
-    ("fwd", [f"{HERE}/prof_backward.py", "fwd"]),
+    ("expand_g1", [f"{HERE}/sweep_expand_sw.py", "512", "512", "1"]),
+    ("expand_g8", [f"{HERE}/sweep_expand_sw.py", "512", "512", "8"]),
+    ("expand_s1024g8", [f"{HERE}/sweep_expand_sw.py", "1024", "512", "8"]),
+    ("expand_s1024g16", [f"{HERE}/sweep_expand_sw.py", "1024", "256", "16"]),
+    ("exchange_skew", [f"{HERE}/exchange_skew.py"]),
+    ("params_bwd", [f"{HERE}/prof_backward.py", "params"]),
     ("rast_bwd", [f"{HERE}/prof_backward.py", "rast"]),
     ("reduce_rowgather", [f"{HERE}/prof_backward.py", "reduce", "rowgather"]),
-    ("params_bwd", [f"{HERE}/prof_backward.py", "params"]),
+    ("fwd", [f"{HERE}/prof_backward.py", "fwd"]),
     ("sharded_single", [f"{HERE}/sharded_overhead.py", "single"]),
     ("sharded_1dev", [f"{HERE}/sharded_overhead.py", "sharded"]),
-    ("expand_s1024", [f"{HERE}/sweep_expand_sw.py", "1024", "128"]),
-    ("expand_s2048", [f"{HERE}/sweep_expand_sw.py", "2048", "128"]),
+    ("total_rowgather", [f"{HERE}/prof_backward.py", "total", "rowgather"]),
 ]
 
 
@@ -83,9 +90,12 @@ def wait_healthy(log, max_wait_s: float = 1800.0) -> bool:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default="/tmp/perf_queue.log")
-    ap.add_argument("--stage-timeout", type=float, default=2400.0,
-                    help="per-stage wall limit (degraded windows compile "
-                         "the 6M frame in 10-30 min)")
+    ap.add_argument("--stage-timeout", type=float, default=3600.0,
+                    help="per-stage wall limit. Generous on purpose: "
+                         "degraded windows compile the 6M frame in "
+                         "10-40 min, and a compile that COMPLETES lands "
+                         "in the persistent cache while a killed one "
+                         "wastes the wait AND re-wedges the device")
     args = ap.parse_args()
 
     with open(args.log, "a") as log:

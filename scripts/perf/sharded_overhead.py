@@ -40,30 +40,33 @@ scene = random_scene(N, seed=0, extent=3.0, scale_range=(0.004, 0.02))
 means, scales, quats, opac, sh = scene.render_args()
 mode = sys.argv[1]
 
+# big arrays are explicit jit arguments: closed-over device arrays embed
+# as HLO constants and the tunnel's remote_compile 413s on the body size
 if mode == "single":
-    def f(salt):
-        img, aux = render_aux(means, scales, quats, opac, sh, cam,
+    def f(salt, m, s, q, o, shc):
+        img, aux = render_aux(m, s, q, o, shc, cam,
                               bg_color=jnp.zeros(3) + salt, cfg=CFG)
         return img.ravel()[:1], aux.num_rendered
 else:
     mesh = make_mesh((1,), ("gs",))
 
-    def f(salt):
+    def f(salt, m, s, q, o, shc):
         img, aux = render_sharded(
-            means, scales, quats, opac, sh, cam, mesh,
+            m, s, q, o, shc, cam, mesh,
             bg_color=jnp.zeros(3) + salt, cfg=CFG, scfg=SCFG,
         )
         return img.ravel()[:1], aux.num_rendered
 
 
 fj = jax.jit(f)
+ARGS = (means, scales, quats, opac, sh)
 
 
 def seq(n, k):
     salt = jnp.float32(k) * 1e-30
-    out = fj(salt)
+    out = fj(salt, *ARGS)
     for _ in range(n - 1):
-        out = fj(salt + out[0][0] * 1e-30)
+        out = fj(salt + out[0][0] * 1e-30, *ARGS)
     return out
 
 

@@ -5,7 +5,7 @@ The fused expansion kernel ran 81 ms at s=512 (BASELINE.md round 2) vs a
 per-grid-step overhead is the prime suspect. Larger s cuts the step
 count linearly (sel matmul VMEM = w*s*4B bounds the product).
 
-Usage: python -u scripts/perf/sweep_expand_sw.py <s> <w>
+Usage: python -u scripts/perf/sweep_expand_sw.py <s> <w> [g]
 """
 import sys
 import time
@@ -38,6 +38,7 @@ CFG = RenderConfig(max_pairs=13_000_000, tile=32, tile_cull=True)
 
 s_par = int(sys.argv[1])
 w_par = int(sys.argv[2])
+g_par = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 cam = look_at_camera((3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
                      fov=65.0, width=W, height=H)
@@ -47,26 +48,30 @@ means, scales, quats, opac, sh = scene.render_args()
 gx, gy = tile_grid(W, H, CFG.tile_wh)
 
 proj = jax.jit(
-    lambda m: project_gaussians(m, scales, quats, view, CFG, width=W,
-                                height=H, opacities=None)
-)(means)
+    lambda m, s_, q_: project_gaussians(m, s_, q_, view, CFG, width=W,
+                                        height=H, opacities=None)
+)(means, scales, quats)
+jax.block_until_ready(proj)
 
 
+# all big arrays are explicit jit ARGUMENTS: closed-over device arrays
+# are embedded as HLO constants and the tunnel's remote_compile rejects
+# bodies past a length limit (HTTP 413) at 6M scale
 @jax.jit
-def f(salt):
+def f(salt, proj, opac):
     # salt perturbs depth (a streamed field) -> fresh work every call
     p = proj._replace(depth=proj.depth + salt)
     tile_id, depth, gid, total = expand_entries_pallas(
         p, gx, gx * gy, CFG.max_pairs, opac, CFG.tile_wh,
-        s=s_par, w=w_par,
+        s=s_par, w=w_par, g=g_par,
     )
     return tile_id.ravel()[0], depth.ravel()[0], total
 
 
 def seq(n, k):
-    out = f(jnp.float32(k) * 1e-30)
+    out = f(jnp.float32(k) * 1e-30, proj, opac)
     for _ in range(n - 1):
-        out = f(out[1] * 1e-30 + jnp.float32(k) * 1e-30)
+        out = f(out[1] * 1e-30 + jnp.float32(k) * 1e-30, proj, opac)
     return out
 
 
@@ -82,5 +87,5 @@ fetch(seq(REPS, 1))
 t0 = time.perf_counter(); fetch(seq(1, 2)); t1 = time.perf_counter() - t0
 t0 = time.perf_counter(); fetch(seq(REPS, 3)); tn = time.perf_counter() - t0
 per = (tn - t1) / (REPS - 1) * 1e3
-print(f"expand[s={s_par},w={w_par}]: {per:.1f} ms  "
+print(f"expand[s={s_par},w={w_par},g={g_par}]: {per:.1f} ms  "
       f"(1rep {t1*1e3:.1f}, {REPS}rep {tn*1e3:.1f})", flush=True)

@@ -410,3 +410,39 @@ def test_pallas_expansion_chunk_sizes_exact(sw):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=f"s={s} w={w} {name}"
         )
+
+
+@pytest.mark.parametrize("swg", [(512, 512, 1), (512, 512, 8),
+                                 (1024, 512, 8), (1024, 256, 16),
+                                 (512, 128, 4)])
+def test_pallas_expansion_swg_invariant(swg):
+    """The (s, w, g) tuning knobs (slots/chunk, streamed rows/subwindow,
+    chunks/grid-step) must never change the output — they only trade
+    per-grid-step overhead vs sel-matmul work (BASELINE.md round 4)."""
+    from luisacomputegaussiansplatting_tpu.ops.binning import (
+        expand_entries,
+    )
+    from luisacomputegaussiansplatting_tpu.ops.expand_pallas import (
+        expand_entries_pallas,
+    )
+
+    s, w, g = swg
+    cam = look_at_camera((3.5, -3.0, 2.0), (0, 0, 0), (0, 0, 1),
+                         fov=70.0, width=80, height=48)
+    scene = random_scene(96, seed=11, scale_range=(0.02, 0.3))
+    cfg = RenderConfig()
+    proj = project_gaussians(scene.means, scene.scales, scene.quats, cam,
+                             cfg)
+    gx, gy = tile_grid(cam.width, cam.height)
+    nt = gx * gy
+
+    t_x, d_x, g_x, tot_x = expand_entries(
+        proj, gx, nt, 4096, scene.opacities
+    )
+    t_p, d_p, g_p, tot_p = expand_entries_pallas(
+        proj, gx, nt, 4096, scene.opacities, interpret=True, s=s, w=w, g=g
+    )
+    assert int(tot_x) == int(tot_p)
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(g_x), np.asarray(g_p))
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
