@@ -130,12 +130,15 @@ def ellipse_tile_reaches(mx, my, ca, cb, cc, op, x0, x1, y0, y1,
 
 
 def _expand_kernel(
-    row_lo_ref,  # (n_chunks_pad,) int32 prefetch: 128-aligned first row
-    n_sub_ref,  # (n_chunks_pad,) int32 prefetch: subwindows to stream
+    grp_lo_ref,  # (n_groups,) int32 prefetch: 128-aligned group first row
+    grp_nwin_ref,  # (n_groups,) int32 prefetch: windows to stream
+    first_win_ref,  # (n_chunks_pad,) int32: chunk's first window in group
+    last_win_ref,  # (n_chunks_pad,) int32: chunk's last window (inclusive)
     table_hbm,  # (3*nf, P_pad) bf16 split-part gaussian table
     out_ref,  # (g, 8, S) f32 out: rows [tile_id, depth, gid, pad...]
-    buf,  # (2, 3*nf, W) VMEM scratch
-    sems,  # (2,) DMA semaphores
+    buf,  # (k, 3*nf, W) VMEM scratch: k-deep DMA pipeline
+    v3_ref,  # (g, 3*nf, S) f32 VMEM scratch: per-chunk accumulators
+    sems,  # (k,) DMA semaphores
     *,
     grid_x: int,
     num_tiles: int,
@@ -147,87 +150,111 @@ def _expand_kernel(
     s: int = S,
     w: int = W,
     g: int = G,
+    k: int = 4,
 ):
     step = pl.program_id(0)
+    glo = grp_lo_ref[step]
+    nwin = grp_nwin_ref[step]
     i_slot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(
         jnp.float32
     )  # (s, 1) chunk-relative slot index in [0, s)
 
-    for gi in range(g):
-        c = step * g + gi
-        lo = row_lo_ref[c]
-        n_sub = n_sub_ref[c]
-        # chunk base split (exact int32 scalars -> exact small f32 parts)
-        cbase = c * s
-        cs_hi = (cbase // _SPLIT).astype(jnp.float32)
-        cs_lo = (cbase % _SPLIT).astype(jnp.float32)
+    def dma(win):
+        slot_b = jax.lax.rem(win, k)
+        off = pl.multiple_of(glo + win * w, 128)
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(off, w)], buf.at[slot_b],
+            sems.at[slot_b],
+        )
 
-        def dma(sw, lo=lo):
-            slot_b = jax.lax.rem(sw, 2)
-            off = pl.multiple_of(lo + sw * w, 128)
-            return pltpu.make_async_copy(
-                table_hbm.at[:, pl.ds(off, w)], buf.at[slot_b],
-                sems.at[slot_b],
+    # the whole group's row span streams CONTINUOUSLY through a k-deep
+    # pipeline: the round-2/3 design restarted a 2-deep chain per chunk,
+    # which left a DMA-latency drain at every one of the ~25K chunks —
+    # the measured dominant cost (~3 µs x n_chunks, BASELINE.md round 4)
+    for kw in range(k - 1):
+        @pl.when(kw < nwin)
+        def _():
+            dma(kw).start()
+
+    v3_ref[...] = jnp.zeros((g, 3 * nf, s), jnp.float32)
+
+    # per-chunk slot bases, split exactly (int32 scalars -> small f32)
+    cs = [((step * g + gi) * s) for gi in range(g)]
+
+    def rel(hi, lo_, c_hi, c_lo):
+        # chunk-relative offset: exact in f32 wherever the interval
+        # compare is in doubt (|rel| < ~num_tiles there); far-away
+        # rows may round but keep their sign side
+        return (hi - c_hi) * float(_SPLIT) + (lo_ - c_lo)
+
+    def body(win, carry):
+        @pl.when(win + (k - 1) < nwin)
+        def _():
+            dma(win + (k - 1)).start()
+
+        dma(win).wait()
+        cur = buf[jax.lax.rem(win, k)]  # (3*nf, W) bf16 parts
+
+        # start/end offsets reconstructed exactly ONCE per window: the
+        # three bf16 parts of each value re-sum exactly in f32
+        def row(r):
+            return (
+                cur[r : r + 1, :].astype(jnp.float32)
+                + cur[nf + r : nf + r + 1, :].astype(jnp.float32)
+                + cur[2 * nf + r : 2 * nf + r + 1, :].astype(jnp.float32)
             )
 
-        @pl.when(n_sub > 0)
-        def _():
-            dma(0).start()
+        s_hi, s_lo = row(0), row(1)  # (1, W)
+        e_hi, e_lo = row(2), row(3)
 
-        def rel(hi, lo_, cs_hi=cs_hi, cs_lo=cs_lo):
-            # chunk-relative offset: exact in f32 wherever the interval
-            # compare is in doubt (|rel| < ~num_tiles there); far-away
-            # rows may round but keep their sign side
-            return (hi - cs_hi) * float(_SPLIT) + (lo_ - cs_lo)
+        for gi in range(g):
+            c = step * g + gi
 
-        def body(sw, v3, dma=dma, rel=rel, n_sub=n_sub):
-            @pl.when(sw + 1 < n_sub)
-            def _():
-                dma(sw + 1).start()
-
-            dma(sw).wait()
-            cur = buf[jax.lax.rem(sw, 2)]  # (3*nf, W) bf16 parts
-            # start/end offsets reconstructed exactly: the three bf16
-            # parts of each value re-sum exactly in f32
-            def row(r):
-                return (
-                    cur[r : r + 1, :].astype(jnp.float32)
-                    + cur[nf + r : nf + r + 1, :].astype(jnp.float32)
-                    + cur[2 * nf + r : 2 * nf + r + 1, :].astype(
-                        jnp.float32
-                    )
+            @pl.when(
+                jnp.logical_and(
+                    win >= first_win_ref[c], win <= last_win_ref[c]
                 )
+            )
+            def _(gi=gi, cb=cs[gi]):
+                c_hi = (cb // _SPLIT).astype(jnp.float32)
+                c_lo = (cb % _SPLIT).astype(jnp.float32)
+                rel_start = rel(s_hi, s_lo, c_hi, c_lo)
+                rel_end = rel(e_hi, e_lo, c_hi, c_lo)
+                # interval membership: each slot claimed by at most one
+                # row (intervals disjoint; zero-extent rows claim none)
+                sel = jnp.logical_and(
+                    rel_start <= i_slot, i_slot < rel_end
+                ).astype(jnp.bfloat16)
+                # ONE (3*nf, W) @ (W, S) bf16 contraction on the MXU =
+                # the row "gather" of all three split parts at once.
+                # sel is EXACTLY {0, 1}; each slot selects exactly one
+                # row, so the per-part products are exact in the f32
+                # accumulator and the part-blocks re-sum exactly below.
+                # 3*nf <= 48 rows pad to the MXU's 128 regardless.
+                v3_ref[gi] += jax.lax.dot_general(
+                    cur,
+                    sel,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3*nf, S)
 
-            rel_start = rel(row(0), row(1))  # (1, W)
-            rel_end = rel(row(2), row(3))
-            # interval membership: each slot claimed by at most one row
-            # (intervals are disjoint; zero-extent rows claim nothing)
-            sel = jnp.logical_and(
-                rel_start <= i_slot, i_slot < rel_end
-            ).astype(jnp.bfloat16)
-            # ONE (3*nf, W) @ (W, S) bf16 contraction on the MXU = the
-            # row "gather" of all three split parts at once. sel is
-            # EXACTLY {0, 1}; each slot selects exactly one row, so the
-            # per-part products are exact in the f32 accumulator and
-            # the three part-blocks re-sum exactly below. 3*nf <= 48
-            # rows pad to the MXU's 128 regardless — one pass costs
-            # what one nf-row pass does.
-            return v3 + jax.lax.dot_general(
-                cur,
-                sel,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (3*nf, S)
+        return carry
 
-        v3 = jax.lax.fori_loop(
-            0, n_sub, body, jnp.zeros((3 * nf, s), jnp.float32),
-            unroll=False,
-        )
+    jax.lax.fori_loop(0, nwin, body, 0, unroll=False)
+
+    for gi in range(g):
+        v3 = v3_ref[gi]
         vals = v3[:nf] + v3[nf : 2 * nf] + v3[2 * nf :]  # exact f32
+        cb = cs[gi]
+        c_hi = (cb // _SPLIT).astype(jnp.float32)
+        c_lo = (cb % _SPLIT).astype(jnp.float32)
+
+        def rel_s(hi, lo_, c_hi=c_hi, c_lo=c_lo):
+            return rel(hi, lo_, c_hi, c_lo)
 
         i_t = i_slot.reshape(1, s)
-        rel_start_s = rel(vals[0:1, :], vals[1:2, :])  # (1, S)
-        rel_end_s = rel(vals[2:3, :], vals[3:4, :])
+        rel_start_s = rel_s(vals[0:1, :], vals[1:2, :])  # (1, S)
+        rel_end_s = rel_s(vals[2:3, :], vals[3:4, :])
         # unmatched slots gathered all-zero rows: rel_end = -cbase <= i
         # fails for every chunk (i >= 0), so end doubles as match flag
         matched = i_t < rel_end_s
@@ -285,15 +312,19 @@ def expand_entries_pallas(
     s: int = S,
     w: int = W,
     g: int = G,
+    k: int = 4,
 ):
     """Pallas expansion; same contract as binning.expand_entries,
     including the optional exact ellipse-tile cull (``opacities``).
 
-    s, w, g: output slots per chunk / streamed table rows per
-    subwindow / chunks per grid step. g amortises the per-grid-step
-    fixed overhead (the dominant cost of the round-2/3 kernel at ~25K
-    steps for a 13M capacity, BASELINE.md round 4) without growing the
-    (s, w) sel matmul; w bounds how much of the table streams per DMA.
+    s, w, g, k: output slots per chunk / streamed table rows per
+    window / chunks per grid step / DMA pipeline depth. Each grid step
+    streams its g chunks' whole row span CONTINUOUSLY through a k-deep
+    DMA pipeline with per-chunk VMEM accumulators — the round-2/3
+    design restarted a 2-deep chain per chunk, leaving a DMA-latency
+    drain at each of ~25K chunks that dominated the kernel (~107 ms vs
+    a ~30 ms compute model at the 13M north-star capacity, measured
+    g-invariant; BASELINE.md round 4).
 
     Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
     slots have tile_id == num_tiles, depth == +inf, gid == -1.
@@ -309,6 +340,8 @@ def expand_entries_pallas(
         raise ValueError(f"s ({s}) and w ({w}) must be multiples of 128")
     if g < 1:
         raise ValueError(f"g ({g}) must be >= 1")
+    if k < 2:
+        raise ValueError(f"k ({k}) must be >= 2 (double buffering)")
     # expansion is structural (sort keys + indices): no gradients flow
     # through it, and pallas_call has no JVP rule — cut the tangent path
     proj = jax.tree.map(jax.lax.stop_gradient, proj)
@@ -378,33 +411,49 @@ def expand_entries_pallas(
     n_chunks_pad = n_groups * g
 
     # per-chunk contiguous row spans (two searchsorteds, XLA-side);
-    # padding chunks (c >= n_chunks) stream nothing and emit sentinels
+    # padding chunks (c >= n_chunks) stream nothing and emit sentinels.
+    # Row [lo_c, hi_c) is EXACTLY the set of rows whose interval
+    # intersects chunk c's slots (ends/starts are both nondecreasing).
     bounds_lo = jnp.arange(n_chunks_pad, dtype=jnp.int32) * s
     bounds_hi = bounds_lo + s
     lo = jnp.searchsorted(ends, bounds_lo, side="right").astype(jnp.int32)
-    hi = jnp.searchsorted(starts, bounds_hi, side="left").astype(jnp.int32)
-    lo_al = (lo // 128) * 128
-    n_sub = jnp.maximum(-(-(hi - lo_al) // w), 0).astype(jnp.int32)
-    n_sub = jnp.where(
-        jnp.arange(n_chunks_pad) < n_chunks, n_sub, 0
-    ).astype(jnp.int32)
+    hi_c = jnp.searchsorted(starts, bounds_hi, side="left").astype(
+        jnp.int32
+    )
+    hi_c = jnp.maximum(hi_c, lo)
+    # group spans: lo/hi_c are monotone, so the group's span is its
+    # first chunk's lo .. its last chunk's hi
+    grp_lo = (lo[::g] // 128) * 128  # (n_groups,) 128-aligned
+    grp_hi = hi_c[g - 1 :: g]
+    grp_nwin = jnp.maximum(-(-(grp_hi - grp_lo) // w), 0).astype(jnp.int32)
+    # chunk -> window range within its group's stream (inclusive);
+    # empty/padding chunks get first > last so the kernel guard never
+    # fires for them
+    grp_of = jnp.arange(n_chunks_pad, dtype=jnp.int32) // g
+    base = grp_lo[grp_of]
+    first_win = (lo - base) // w
+    last_win = (hi_c - 1 - base) // w
+    empty = hi_c <= lo
+    first_win = jnp.where(empty, 1, first_win).astype(jnp.int32)
+    last_win = jnp.where(empty, 0, last_win).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(n_groups,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (g, 8, s), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3 * nf, w), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((k, 3 * nf, w), jnp.bfloat16),
+            pltpu.VMEM((g, 3 * nf, s), jnp.float32),
+            pltpu.SemaphoreType.DMA((k,)),
         ],
     )
     kernel = functools.partial(
         _expand_kernel, grid_x=grid_x, num_tiles=num_tiles, nf=nf,
         cull=cull, tile_w=tw, tile_h=th, alpha_min=alpha_min, s=s, w=w,
-        g=g,
+        g=g, k=k,
     )
     out = pl.pallas_call(
         kernel,
@@ -414,7 +463,7 @@ def expand_entries_pallas(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(lo_al, n_sub, table3)
+    )(grp_lo, grp_nwin, first_win, last_win, table3)
 
     # rows 0..2 hold [tile_id, depth, gid] as f32 (ints < 2^24 are exact)
     tile_id = out[:, 0, :].reshape(-1)[:max_pairs].astype(jnp.int32)

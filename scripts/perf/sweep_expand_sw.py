@@ -5,7 +5,7 @@ The fused expansion kernel ran 81 ms at s=512 (BASELINE.md round 2) vs a
 per-grid-step overhead is the prime suspect. Larger s cuts the step
 count linearly (sel matmul VMEM = w*s*4B bounds the product).
 
-Usage: python -u scripts/perf/sweep_expand_sw.py <s> <w> [g]
+Usage: python -u scripts/perf/sweep_expand_sw.py <s> <w> [g] [k]
 """
 import sys
 import time
@@ -39,6 +39,7 @@ CFG = RenderConfig(max_pairs=13_000_000, tile=32, tile_cull=True)
 s_par = int(sys.argv[1])
 w_par = int(sys.argv[2])
 g_par = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+k_par = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
 cam = look_at_camera((3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
                      fov=65.0, width=W, height=H)
@@ -63,7 +64,7 @@ def f(salt, proj, opac):
     p = proj._replace(depth=proj.depth + salt)
     tile_id, depth, gid, total = expand_entries_pallas(
         p, gx, gx * gy, CFG.max_pairs, opac, CFG.tile_wh,
-        s=s_par, w=w_par, g=g_par,
+        s=s_par, w=w_par, g=g_par, k=k_par,
     )
     return tile_id.ravel()[0], depth.ravel()[0], total
 
@@ -87,5 +88,5 @@ fetch(seq(REPS, 1))
 t0 = time.perf_counter(); fetch(seq(1, 2)); t1 = time.perf_counter() - t0
 t0 = time.perf_counter(); fetch(seq(REPS, 3)); tn = time.perf_counter() - t0
 per = (tn - t1) / (REPS - 1) * 1e3
-print(f"expand[s={s_par},w={w_par},g={g_par}]: {per:.1f} ms  "
+print(f"expand[s={s_par},w={w_par},g={g_par},k={k_par}]: {per:.1f} ms  "
       f"(1rep {t1*1e3:.1f}, {REPS}rep {tn*1e3:.1f})", flush=True)
