@@ -21,11 +21,13 @@ f32 fields exactly (the three selected parts re-sum exactly in f32).
 same MXU time as one nf-row pass and a third of the round-2 design's
 three sequential HIGHEST-style passes.
 
-Each grid step processes ``g`` consecutive output chunks (g * s slots):
-per-grid-step fixed overhead (~µs on real TPUs) dominated the round-2/3
-kernel at 25K steps (81 ms measured vs ~26 ms compute model,
-BASELINE.md round 4); g amortises it without growing the (s, w) sel
-matmul that bounds VPU/MXU work per subwindow.
+Each grid step processes ``g`` consecutive output chunks (g * s slots),
+streaming the group's whole table-row span once through a k-deep DMA
+pipeline. The table is pre-tiled XLA-side into (3*nf, w) blocks so each
+window DMA is one CONTIGUOUS copy: the round-4 sweep showed the kernel
+time tracked n_windows x ~8 us of strided-row DMA descriptor overhead
+under the old field-major layout (g- and sel-area-invariant, 96-198 ms
+across (s, w, g); BASELINE.md round 4), not compute.
 
 Slot offsets ride as (hi = offset >> 12, lo = offset & 4095) f32 pairs
 and every comparison happens on CHUNK-RELATIVE values (offset - c*S),
@@ -130,11 +132,16 @@ def ellipse_tile_reaches(mx, my, ca, cb, cc, op, x0, x1, y0, y1,
 
 
 def _expand_kernel(
-    grp_lo_ref,  # (n_groups,) int32 prefetch: 128-aligned group first row
-    grp_nwin_ref,  # (n_groups,) int32 prefetch: windows to stream
+    grp_lo_ref,  # (n_groups,) int32 prefetch: group's first table TILE
+    grp_nwin_ref,  # (n_groups,) int32 prefetch: windows (tiles) to stream
     first_win_ref,  # (n_chunks_pad,) int32: chunk's first window in group
     last_win_ref,  # (n_chunks_pad,) int32: chunk's last window (inclusive)
-    table_hbm,  # (3*nf, P_pad) bf16 split-part gaussian table
+    table_hbm,  # (n_tw, 3*nf, W) bf16 split-part table, TILED so each
+    #            window is ONE CONTIGUOUS HBM block (round-4 fix: the
+    #            field-major (3*nf, P) layout made every window DMA 3*nf
+    #            strided ~1 KB rows, and the measured kernel time tracked
+    #            n_windows x ~8 us of per-row descriptor overhead — not
+    #            sel compute; BASELINE.md round 4 sweep)
     out_ref,  # (g, 8, S) f32 out: rows [tile_id, depth, gid, pad...]
     buf,  # (k, 3*nf, W) VMEM scratch: k-deep DMA pipeline
     v3_ref,  # (g, 3*nf, S) f32 VMEM scratch: per-chunk accumulators
@@ -161,9 +168,8 @@ def _expand_kernel(
 
     def dma(win):
         slot_b = jax.lax.rem(win, k)
-        off = pl.multiple_of(glo + win * w, 128)
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(off, w)], buf.at[slot_b],
+            table_hbm.at[glo + win], buf.at[slot_b],
             sems.at[slot_b],
         )
 
@@ -320,22 +326,20 @@ def expand_entries_pallas(
     s, w, g, k: output slots per chunk / streamed table rows per
     window / chunks per grid step / DMA pipeline depth. Each grid step
     streams its g chunks' whole row span CONTINUOUSLY through a k-deep
-    DMA pipeline with per-chunk VMEM accumulators — the round-2/3
-    design restarted a 2-deep chain per chunk, leaving a DMA-latency
-    drain at each of ~25K chunks that dominated the kernel (~107 ms vs
-    a ~30 ms compute model at the 13M north-star capacity, measured
-    g-invariant; BASELINE.md round 4).
+    DMA pipeline with per-chunk VMEM accumulators, and the table is
+    pre-tiled so every window is ONE contiguous HBM block: the round-4
+    sweep measured the field-major layout's per-window DMA (3*nf
+    strided ~1 KB rows) at ~8 us/window of descriptor overhead, which
+    tracked the whole kernel time (96-198 ms across (s, w, g);
+    BASELINE.md round 4).
 
     Returns (tile_id, depth, gid, total): (max_pairs,) arrays; invalid
     slots have tile_id == num_tiles, depth == +inf, gid == -1.
     """
     from .projection import _tile_wh
 
-    # the kernel promises pl.multiple_of(lo + sw * w, 128) on its HBM
-    # slice offsets (lane-dim alignment, CLAUDE.md Pallas rules): a
-    # non-128-multiple w would make that a false promise — misaligned
-    # streamed rows on real TPUs (the interpret-mode parity tests ignore
-    # the hint and would not catch it)
+    # w is the lane dim of every streamed (3*nf, w) tile and s the lane
+    # dim of the accumulators/output (CLAUDE.md Pallas alignment rules)
     if w % 128 or s % 128:
         raise ValueError(f"s ({s}) and w ({w}) must be multiples of 128")
     if g < 1:
@@ -394,9 +398,12 @@ def expand_entries_pallas(
         ]
     nf = len(fields)
     table = jnp.stack(fields, axis=0)  # (nf, P)
-    # lane padding so any 128-aligned (nf, W) slice stays in bounds
+    # pad the row axis to a whole number of w-row tiles (+1 spare tile:
+    # a group whose span ends exactly at P still streams its last,
+    # partially-padded window)
+    n_tw = -(-p // w) + 1
     table = jnp.concatenate(
-        [table, jnp.zeros((nf, w + 128), jnp.float32)], axis=1
+        [table, jnp.zeros((nf, n_tw * w - p), jnp.float32)], axis=1
     )
     # exact 3-term bf16 split, laid out as 3*nf part-rows: the kernel's
     # single bf16 matmul reconstructs f32 fields exactly (part products
@@ -405,7 +412,13 @@ def expand_entries_pallas(
     r1 = table - p0.astype(jnp.float32)
     p1 = r1.astype(jnp.bfloat16)
     p2 = (r1 - p1.astype(jnp.float32)).astype(jnp.bfloat16)
-    table3 = jnp.concatenate([p0, p1, p2], axis=0)  # (3*nf, P_pad) bf16
+    table3 = jnp.concatenate([p0, p1, p2], axis=0)  # (3*nf, n_tw*w) bf16
+    # tile the row axis: each w-row window becomes ONE contiguous
+    # (3*nf, w) HBM block, so the kernel's window DMA is a single
+    # contiguous copy instead of 3*nf strided ~1 KB row reads (which
+    # dominated the round-2/3 kernel at ~8 us/window; BASELINE.md
+    # round 4). One 576 MB relayout pass XLA-side (~2 ms) buys it.
+    table_t = table3.reshape(3 * nf, n_tw, w).transpose(1, 0, 2)
 
     n_groups = -(-n_chunks // g)
     n_chunks_pad = n_groups * g
@@ -421,18 +434,20 @@ def expand_entries_pallas(
         jnp.int32
     )
     hi_c = jnp.maximum(hi_c, lo)
-    # group spans: lo/hi_c are monotone, so the group's span is its
-    # first chunk's lo .. its last chunk's hi
-    grp_lo = (lo[::g] // 128) * 128  # (n_groups,) 128-aligned
+    # group spans in TILE units: lo/hi_c are monotone, so the group's
+    # span is its first chunk's lo .. its last chunk's hi
+    grp_tlo = lo[::g] // w  # (n_groups,) first tile index
     grp_hi = hi_c[g - 1 :: g]
-    grp_nwin = jnp.maximum(-(-(grp_hi - grp_lo) // w), 0).astype(jnp.int32)
+    grp_nwin = jnp.maximum(
+        -(-grp_hi // w) - grp_tlo, 0
+    ).astype(jnp.int32)
     # chunk -> window range within its group's stream (inclusive);
     # empty/padding chunks get first > last so the kernel guard never
     # fires for them
     grp_of = jnp.arange(n_chunks_pad, dtype=jnp.int32) // g
-    base = grp_lo[grp_of]
-    first_win = (lo - base) // w
-    last_win = (hi_c - 1 - base) // w
+    base = grp_tlo[grp_of]
+    first_win = lo // w - base
+    last_win = (hi_c - 1) // w - base
     empty = hi_c <= lo
     first_win = jnp.where(empty, 1, first_win).astype(jnp.int32)
     last_win = jnp.where(empty, 0, last_win).astype(jnp.int32)
@@ -463,7 +478,7 @@ def expand_entries_pallas(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(grp_lo, grp_nwin, first_win, last_win, table3)
+    )(grp_tlo, grp_nwin, first_win, last_win, table_t)
 
     # rows 0..2 hold [tile_id, depth, gid] as f32 (ints < 2^24 are exact)
     tile_id = out[:, 0, :].reshape(-1)[:max_pairs].astype(jnp.int32)
