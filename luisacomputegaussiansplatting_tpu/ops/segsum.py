@@ -126,6 +126,157 @@ def _segsum_kernel(
     jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
 
 
+def _segsum_kernel_packed(
+    ent_start_ref,  # (n_windows,) int32 prefetch: first entry of window
+    ent_end_ref,  # (n_windows,) int32 prefetch: one-past-last entry
+    rows_hbm,  # (kpack+pad, L_pad) int32: [0:kpack] bf16-pair rows,
+    #            [kpack] the id itself as int32
+    out_ref,  # (E, 2*kpack) VMEM block: this window's dense sums,
+    #           column layout [hi0..hi_{k-1}, lo0..lo_{k-1}]
+    rbuf,  # (2, rows, E) VMEM scratch: double-buffered entry chunks
+    sems,  # (2,) DMA semaphores
+    *,
+    kpack: int,
+):
+    """bf16-packed variant of :func:`_segsum_kernel`: streams HALF the
+    bytes of the 16-row f32 table (the bf16 reduction's rows are already
+    exactly bf16, so nothing is lost), unpacks in-VMEM with two int32
+    shifts + a 32-bit bitcast (a bf16 value in the TOP half of an int32
+    IS that f32 value — no 16-bit ops needed), and contracts the one-hot
+    strips as single-pass bf16 MXU matmuls instead of the f32 table's
+    multi-pass HIGHEST dots. Round-4 addition: the f32-table path made
+    reduce_bwd the largest backward stage (223.7 ms at the 6M north-star
+    config, BASELINE.md round 4)."""
+    w = pl.program_id(0)
+    w_base = w * E
+    start = ent_start_ref[w]
+    end = ent_end_ref[w]
+    off0 = (start // _STRIP) * _STRIP
+    n_chunks = jnp.where(end > off0, (end - off0 + E - 1) // E, 0)
+
+    out_ref[...] = jnp.zeros((E, 2 * kpack), jnp.float32)
+
+    def chunk_dma(c):
+        slot = jax.lax.rem(c, 2)
+        off = pl.multiple_of(off0 + c * E, _STRIP)
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(off, E)],
+            rbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        chunk_dma(0).start()
+
+    def body(c, _):
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(c + 1).start()
+
+        chunk_dma(c).wait()
+        cur = rbuf[jax.lax.rem(c, 2)]  # (rows, E) int32
+        ids = cur[kpack : kpack + 1, :]  # (1, E) int32
+        packed = cur[0:kpack, :]
+        # exact bf16-pair unpack, 32-bit ops only: top half in place ->
+        # the even field's f32 value; low half shifted up -> the odd's
+        hi = jax.lax.bitcast_convert_type(
+            (packed >> 16) << 16, jnp.float32
+        ).astype(jnp.bfloat16)
+        lo = jax.lax.bitcast_convert_type(
+            packed << 16, jnp.float32
+        ).astype(jnp.bfloat16)
+        data = jnp.concatenate([hi, lo], axis=0)  # (2*kpack, E) bf16
+
+        id_lo = cur[kpack, 0]
+        id_hi = cur[kpack, E - 1]
+        s_lo = jnp.clip((id_lo - w_base) // _STRIP, 0, E // _STRIP)
+        s_hi = jnp.clip((id_hi - w_base) // _STRIP + 1, s_lo, E // _STRIP)
+
+        def strip(s, _):
+            base = s * _STRIP
+            strip_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (_STRIP, 1), 0
+            ) + (w_base + base)
+            sel = (strip_ids == ids).astype(jnp.bfloat16)  # (STRIP, E)
+            # sel is exact {0, 1} bf16 and data is exact bf16: ONE MXU
+            # pass accumulates exactly into the f32 accumulator
+            part = jax.lax.dot_general(
+                sel,
+                data,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (STRIP, 2*kpack)
+            out_ref[pl.ds(base, _STRIP), :] += part
+            return 0
+
+        jax.lax.fori_loop(s_lo, s_hi, strip, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+
+def _segsum_call_packed(sorted_key, packed_cols, keep, n_out: int,
+                        cols: int, interpret: bool):
+    """Segment-sum bf16-pair-packed rows by sorted id.
+
+    Args:
+      sorted_key: (L,) int32 ascending; >= n_out rows are dropped.
+      packed_cols: kpack-sequence of (L,) int32 bf16 pairs (hi = even
+        field, lo = odd field), in sorted order.
+      keep: (L,) bool, False rows are zeroed (their packed values may be
+        garbage, e.g. unwritten backward-kernel columns).
+
+    Returns (n_out, cols) f32 sums in field order.
+    """
+    kpack = len(packed_cols)
+    L = sorted_key.shape[0]
+    n_windows = max(1, -(-n_out // E))
+    outside = jnp.int32(n_windows * E)
+    ids_i = jnp.where(keep, sorted_key, outside)
+    zeroed = [jnp.where(keep, c, 0) for c in packed_cols]
+    # sublane-pad the row count to a multiple of 8 (CLAUDE.md rules)
+    rows = kpack + 1
+    rows_pad = -(-rows // 8) * 8
+    pad = jnp.zeros((rows_pad - rows, L), jnp.int32)
+    table = jnp.concatenate(
+        [jnp.stack(zeroed, axis=0), ids_i[None, :], pad], axis=0
+    )
+    tail = jnp.zeros((rows_pad, E), jnp.int32).at[kpack, :].set(outside)
+    table = jnp.concatenate([table, tail], axis=1)
+
+    bounds = jnp.arange(n_windows + 1, dtype=jnp.int32) * E
+    cuts = jnp.searchsorted(sorted_key, bounds, side="left").astype(jnp.int32)
+    ent_start, ent_end = cuts[:-1], cuts[1:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_windows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (E, 2 * kpack), lambda w, *_: (w, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_pad, E), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel_packed, kpack=kpack),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_windows * E, 2 * kpack), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(ent_start, ent_end, table)
+    # kernel column layout [hi0..hi_{k-1}, lo0..lo_{k-1}] -> field order
+    order = [(f // 2) + (f % 2) * kpack for f in range(cols)]
+    return out[:n_out, jnp.asarray(order, jnp.int32)]
+
+
 def segment_sum_sorted(
     sorted_gid, sorted_rows, n_out: int, interpret: bool = False
 ):
@@ -230,20 +381,6 @@ def _pack_bf16_pairs(rows):
     return out
 
 
-def _unpack_bf16_pairs(packed, n: int):
-    def f32(u16):
-        return jax.lax.bitcast_convert_type(
-            u16.astype(jnp.uint16), jnp.bfloat16
-        ).astype(jnp.float32)
-
-    rows = []
-    for p in packed:
-        rows.append(f32(p >> 16))
-        if len(rows) < n:
-            rows.append(f32(p & 0xFFFF))
-    return rows[:n]
-
-
 def pack_rows_bf16(rows):
     """(M, 2k or 2k-1) f32 matrix -> (M, k) int32 bf16 pairs, row-space
     (hi = even columns, lo = odd; odd widths zero-pad the last lo)."""
@@ -325,10 +462,19 @@ def reduce_fields_by_id(
         # relayout measured on the payload-gather path, ops/render.py
         # _unpack_rows7).
         if dtype == "bf16":
+            # packed end to end: gather the bf16-pair int32 rows and
+            # feed them STILL PACKED to the packed segsum kernel, which
+            # unpacks in VMEM — skips the round-4-measured f32 blowup
+            # (the (L, cols) unpack + transpose + 16-row f32 table cost
+            # more HBM traffic than the reduction itself)
             packed = _pack_bf16_pairs(field_rows)
             mat = jnp.stack(packed, axis=1)  # (L, ceil(cols/2)) uint32
-            sp = jnp.take(mat, perm, axis=0)
-            rows_lc = unpack_rows_bf16(sp, cols)  # (L, cols)
+            sp = jnp.take(mat.astype(jnp.int32), perm, axis=0)
+            keep = sorted_key < n_out
+            return _segsum_call_packed(
+                sorted_key, [sp[:, i] for i in range(sp.shape[1])],
+                keep, n_out, cols, interpret,
+            )
         elif dtype == "f32":
             mat = jnp.stack(field_rows, axis=1)  # (L, cols)
             rows_lc = jnp.take(mat, perm, axis=0)
@@ -358,7 +504,12 @@ def reduce_fields_by_id(
                 (key, *packed), num_keys=1, is_stable=stable
             )
             sorted_key = sorted_all[0]
-            sorted_fields = _unpack_bf16_pairs(sorted_all[1:], cols)
+            keep = sorted_key < n_out
+            return _segsum_call_packed(
+                sorted_key,
+                [c.astype(jnp.int32) for c in sorted_all[1:]],
+                keep, n_out, cols, interpret,
+            )
         elif dtype == "f32":
             sorted_all = jax.lax.sort(
                 (key, *field_rows), num_keys=1, is_stable=stable
