@@ -90,6 +90,9 @@ def wait_healthy(log, max_wait_s: float = 1800.0) -> bool:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default="/tmp/perf_queue.log")
+    ap.add_argument("--stages-file", default=None,
+                    help="JSON file: list of [name, argv] stages to run "
+                         "instead of the built-in QUEUE")
     ap.add_argument("--stage-timeout", type=float, default=3600.0,
                     help="per-stage wall limit. Generous on purpose: "
                          "degraded windows compile the 6M frame in "
@@ -98,9 +101,15 @@ def main() -> None:
                          "wastes the wait AND re-wedges the device")
     args = ap.parse_args()
 
+    queue = QUEUE
+    if args.stages_file:
+        import json
+
+        queue = [tuple(s) for s in json.load(open(args.stages_file))]
+
     with open(args.log, "a") as log:
         log.write(f"\n=== perf queue run {time.strftime('%F %T')} ===\n")
-        for name, argv in QUEUE:
+        for name, argv in queue:
             if not wait_healthy(log):
                 # a dead tunnel stays dead for every remaining stage;
                 # abort the whole queue rather than cycling probes
