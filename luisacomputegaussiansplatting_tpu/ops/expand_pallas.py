@@ -13,17 +13,20 @@ matmul on the MXU:
     sel[s, r]  = (start_r <= slot_s) & (slot_s < end_r)   # disjoint
     vals[:, s] = table_window @ sel^T                     # (F, W) @ (W, S)
 
-The one-hot gather is BIT-EXACT for f32 values: each value is pre-split
-XLA-side into three bf16 terms of strictly decreasing magnitude, stored
-as 3*nf table rows, so ONE bf16 matmul per subwindow reconstructs the
-f32 fields exactly (the three selected parts re-sum exactly in f32).
-3*nf <= 48 rows pad to the MXU's 128 anyway — one fused pass costs the
-same MXU time as one nf-row pass and a third of the round-2 design's
-three sequential HIGHEST-style passes.
+The one-hot gather is BIT-EXACT for f32 values: in-kernel, each f32
+row splits into three bf16 terms of strictly decreasing magnitude
+whose selected products re-sum exactly in the f32 accumulator (sel is
+exactly {0, 1}, each slot selects exactly one row). An XLA-side
+pre-split variant (3*nf bf16 table rows + one fused matmul) was tried
+in round 4 and REVERTED: it silently corrupted the reconstruction on
+real TPUs (Mosaic bf16 single-row slicing; bit-exact under interpret,
+~99% of entries lost on-chip — BASELINE.md round-4 postmortem), and
+its table is 96 B/row vs f32's 64 B, so it also streamed 1.5x the
+bytes to save two non-dominant MXU passes.
 
 Each grid step processes ``g`` consecutive output chunks (g * s slots),
 streaming the group's whole table-row span once through a k-deep DMA
-pipeline. The table is pre-tiled XLA-side into (3*nf, w) blocks so each
+pipeline. The table is pre-tiled XLA-side into (nf, w) blocks so each
 window DMA is one CONTIGUOUS copy: the round-4 sweep showed the kernel
 time tracked n_windows x ~8 us of strided-row DMA descriptor overhead
 under the old field-major layout (g- and sel-area-invariant, 96-198 ms
@@ -136,15 +139,15 @@ def _expand_kernel(
     grp_nwin_ref,  # (n_groups,) int32 prefetch: windows (tiles) to stream
     first_win_ref,  # (n_chunks_pad,) int32: chunk's first window in group
     last_win_ref,  # (n_chunks_pad,) int32: chunk's last window (inclusive)
-    table_hbm,  # (n_tw, 3*nf, W) bf16 split-part table, TILED so each
+    table_hbm,  # (n_tw, nf, W) f32 field-major table, TILED so each
     #            window is ONE CONTIGUOUS HBM block (round-4 fix: the
-    #            field-major (3*nf, P) layout made every window DMA 3*nf
+    #            field-major (nf, P) layout made every window DMA nf
     #            strided ~1 KB rows, and the measured kernel time tracked
     #            n_windows x ~8 us of per-row descriptor overhead — not
     #            sel compute; BASELINE.md round 4 sweep)
     out_ref,  # (g, 8, S) f32 out: rows [tile_id, depth, gid, pad...]
-    buf,  # (k, 3*nf, W) VMEM scratch: k-deep DMA pipeline
-    v3_ref,  # (g, 3*nf, S) f32 VMEM scratch: per-chunk accumulators
+    buf,  # (k, nf, W) VMEM scratch: k-deep DMA pipeline
+    v_ref,  # (g, nf, S) f32 VMEM scratch: per-chunk accumulators
     sems,  # (k,) DMA semaphores
     *,
     grid_x: int,
@@ -182,7 +185,7 @@ def _expand_kernel(
         def _():
             dma(kw).start()
 
-    v3_ref[...] = jnp.zeros((g, 3 * nf, s), jnp.float32)
+    v_ref[...] = jnp.zeros((g, nf, s), jnp.float32)
 
     # per-chunk slot bases, split exactly (int32 scalars -> small f32)
     cs = [((step * g + gi) * s) for gi in range(g)]
@@ -199,19 +202,21 @@ def _expand_kernel(
             dma(win + (k - 1)).start()
 
         dma(win).wait()
-        cur = buf[jax.lax.rem(win, k)]  # (3*nf, W) bf16 parts
+        cur = buf[jax.lax.rem(win, k)]  # (nf, W) f32
 
-        # start/end offsets reconstructed exactly ONCE per window: the
-        # three bf16 parts of each value re-sum exactly in f32
-        def row(r):
-            return (
-                cur[r : r + 1, :].astype(jnp.float32)
-                + cur[nf + r : nf + r + 1, :].astype(jnp.float32)
-                + cur[2 * nf + r : 2 * nf + r + 1, :].astype(jnp.float32)
-            )
-
-        s_hi, s_lo = row(0), row(1)  # (1, W)
-        e_hi, e_lo = row(2), row(3)
+        s_hi, s_lo = cur[0:1, :], cur[1:2, :]  # (1, W)
+        e_hi, e_lo = cur[2:3, :], cur[3:4, :]
+        # one-side 3-term bf16 split of the f32 window, shared by all g
+        # chunks: sel is EXACTLY {0, 1}, so only the table side splits;
+        # the three terms' selected products re-sum exactly in the f32
+        # accumulator (each slot selects exactly one row). In-kernel
+        # split on an f32 buffer is the TPU-proven construct — the
+        # XLA-side pre-split bf16 table silently corrupted on-chip
+        # (BASELINE.md round-4 postmortem).
+        t0 = cur.astype(jnp.bfloat16)
+        r1 = cur - t0.astype(jnp.float32)
+        t1 = r1.astype(jnp.bfloat16)
+        t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
 
         for gi in range(g):
             c = step * g + gi
@@ -231,26 +236,22 @@ def _expand_kernel(
                 sel = jnp.logical_and(
                     rel_start <= i_slot, i_slot < rel_end
                 ).astype(jnp.bfloat16)
-                # ONE (3*nf, W) @ (W, S) bf16 contraction on the MXU =
-                # the row "gather" of all three split parts at once.
-                # sel is EXACTLY {0, 1}; each slot selects exactly one
-                # row, so the per-part products are exact in the f32
-                # accumulator and the part-blocks re-sum exactly below.
-                # 3*nf <= 48 rows pad to the MXU's 128 regardless.
-                v3_ref[gi] += jax.lax.dot_general(
-                    cur,
-                    sel,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (3*nf, S)
+                acc = v_ref[gi]
+                for t in (t0, t1, t2):
+                    acc = acc + jax.lax.dot_general(
+                        t,
+                        sel,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (nf, S)
+                v_ref[gi] = acc
 
         return carry
 
     jax.lax.fori_loop(0, nwin, body, 0, unroll=False)
 
     for gi in range(g):
-        v3 = v3_ref[gi]
-        vals = v3[:nf] + v3[nf : 2 * nf] + v3[2 * nf :]  # exact f32
+        vals = v_ref[gi]
         cb = cs[gi]
         c_hi = (cb // _SPLIT).astype(jnp.float32)
         c_lo = (cb % _SPLIT).astype(jnp.float32)
@@ -328,7 +329,7 @@ def expand_entries_pallas(
     streams its g chunks' whole row span CONTINUOUSLY through a k-deep
     DMA pipeline with per-chunk VMEM accumulators, and the table is
     pre-tiled so every window is ONE contiguous HBM block: the round-4
-    sweep measured the field-major layout's per-window DMA (3*nf
+    sweep measured the field-major layout's per-window DMA (nf
     strided ~1 KB rows) at ~8 us/window of descriptor overhead, which
     tracked the whole kernel time (96-198 ms across (s, w, g);
     BASELINE.md round 4).
@@ -338,7 +339,7 @@ def expand_entries_pallas(
     """
     from .projection import _tile_wh
 
-    # w is the lane dim of every streamed (3*nf, w) tile and s the lane
+    # w is the lane dim of every streamed (nf, w) tile and s the lane
     # dim of the accumulators/output (CLAUDE.md Pallas alignment rules)
     if w % 128 or s % 128:
         raise ValueError(f"s ({s}) and w ({w}) must be multiples of 128")
@@ -405,20 +406,12 @@ def expand_entries_pallas(
     table = jnp.concatenate(
         [table, jnp.zeros((nf, n_tw * w - p), jnp.float32)], axis=1
     )
-    # exact 3-term bf16 split, laid out as 3*nf part-rows: the kernel's
-    # single bf16 matmul reconstructs f32 fields exactly (part products
-    # are exact; the three part-blocks re-sum exactly in f32)
-    p0 = table.astype(jnp.bfloat16)
-    r1 = table - p0.astype(jnp.float32)
-    p1 = r1.astype(jnp.bfloat16)
-    p2 = (r1 - p1.astype(jnp.float32)).astype(jnp.bfloat16)
-    table3 = jnp.concatenate([p0, p1, p2], axis=0)  # (3*nf, n_tw*w) bf16
     # tile the row axis: each w-row window becomes ONE contiguous
-    # (3*nf, w) HBM block, so the kernel's window DMA is a single
-    # contiguous copy instead of 3*nf strided ~1 KB row reads (which
+    # (nf, w) HBM block, so the kernel's window DMA is a single
+    # contiguous copy instead of nf strided ~1 KB row reads (which
     # dominated the round-2/3 kernel at ~8 us/window; BASELINE.md
-    # round 4). One 576 MB relayout pass XLA-side (~2 ms) buys it.
-    table_t = table3.reshape(3 * nf, n_tw, w).transpose(1, 0, 2)
+    # round 4). One relayout pass XLA-side (~1 ms at 6M rows) buys it.
+    table_t = table.reshape(nf, n_tw, w).transpose(1, 0, 2)
 
     n_groups = -(-n_chunks // g)
     n_chunks_pad = n_groups * g
@@ -460,8 +453,8 @@ def expand_entries_pallas(
             (g, 8, s), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((k, 3 * nf, w), jnp.bfloat16),
-            pltpu.VMEM((g, 3 * nf, s), jnp.float32),
+            pltpu.VMEM((k, nf, w), jnp.float32),
+            pltpu.VMEM((g, nf, s), jnp.float32),
             pltpu.SemaphoreType.DMA((k,)),
         ],
     )
