@@ -66,6 +66,13 @@ def build_parser():
                    help="backward gradient-row movement: operands riding "
                         "the reduce sort, or a 2-operand sort + one packed "
                         "row gather (see RenderConfig.grad_reduce_method)")
+    p.add_argument("--grad-reduce-dtype", choices=["f32", "bf16"],
+                   default="f32",
+                   help="per-entry gradient rows round to bf16 before the "
+                        "reduction's sort-side movement (packed segsum "
+                        "kernel); per-gaussian sums stay f32. ~2^-9 "
+                        "relative per-entry rounding, far below SGD noise "
+                        "(see RenderConfig.grad_reduce_dtype)")
     p.add_argument("--tight-radius", action="store_true",
                    help="exact alpha_min splat radii (see render_cli)")
     p.add_argument("--tile-cull", action="store_true",
@@ -257,6 +264,7 @@ def main(argv=None):
                        tile_h=args.tile_h, pack_mode=args.pack,
                        payload_dtype=args.payload, sort_mode=args.sort,
                        grad_reduce_method=args.grad_reduce,
+                       grad_reduce_dtype=args.grad_reduce_dtype,
                        tight_radius=args.tight_radius,
                        tile_cull=args.tile_cull)
     scfg = None
