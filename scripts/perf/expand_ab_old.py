@@ -68,3 +68,39 @@ mm = np.flatnonzero((tx != tp) | (gidx != gidp))
 print(f"mismatched slots: {mm.size}")
 assert mm.size == 0, "DIVERGED"
 print("EXACT ok")
+
+# chained-dependent timing of the historical kernel (same method as
+# sweep_expand_sw.py) — for racing kernel revisions in one harness
+import time
+
+import jax.numpy as jnp
+
+REPS = 4
+
+
+@jax.jit
+def f(salt, proj, opac):
+    p = proj._replace(depth=proj.depth + salt)
+    tile_id, depth, gid, total = old.expand_entries_pallas(
+        p, gx, gx * gy, MAXP, opac, CFG.tile_wh, **kw
+    )
+    return tile_id.ravel()[0], depth.ravel()[0], total
+
+
+def seq(n, k):
+    out = f(jnp.float32(k) * 1e-30, proj, opac)
+    for _ in range(n - 1):
+        out = f(out[1] * 1e-30 + jnp.float32(k) * 1e-30, proj, opac)
+    return out
+
+
+def fetch(o):
+    return jax.tree.map(lambda x: np.asarray(x), o)
+
+
+fetch(seq(REPS, 1))
+t0 = time.perf_counter(); fetch(seq(1, 2)); t1 = time.perf_counter() - t0
+t0 = time.perf_counter(); fetch(seq(REPS, 3)); tn = time.perf_counter() - t0
+per = (tn - t1) / (REPS - 1) * 1e3
+print(f"expand_old[{path} N={N} {kw}]: {per:.1f} ms  "
+      f"(1rep {t1*1e3:.1f}, {REPS}rep {tn*1e3:.1f})", flush=True)
