@@ -32,13 +32,13 @@ old = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(old)
 
 kw = {}
-if len(sys.argv) > 3:
+if len(sys.argv) > 3 and sys.argv[3] != "-":
     kw["s"] = int(sys.argv[3])
-if len(sys.argv) > 4:
+if len(sys.argv) > 4 and sys.argv[4] != "-":
     kw["w"] = int(sys.argv[4])
 
 W, H = 1920, 1080
-MAXP = max(N * 3, 300_000)
+MAXP = int(sys.argv[5]) if len(sys.argv) > 5 else max(N * 3, 300_000)
 CFG = RenderConfig(max_pairs=MAXP, tile=32, tile_cull=True)
 cam = look_at_camera((3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
                      fov=65.0, width=W, height=H)
