@@ -509,3 +509,28 @@ def test_exchange_capacity_auto_derivation(scene):
     )
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_e),
                                atol=2e-5)
+
+
+def test_exchange_capacity_scales_with_mesh_size():
+    """The auto-derived bucket capacity shrinks ~1/ndev while the TOTAL
+    per-chip exchange buffer (ndev * capacity) stays flat at
+    ~skew * max_pairs_local rows — the invariant behind the flat
+    per-chip ICI traffic measured in scripts/perf/ici_traffic.py
+    (BASELINE.md round 5): scaling devices must not scale per-chip
+    all-to-all bytes."""
+    from luisacomputegaussiansplatting_tpu.config import CHUNK
+    from luisacomputegaussiansplatting_tpu.parallel.render_sharded import (
+        derive_exchange_capacity,
+    )
+
+    mpl, skew = 1_000_000, 3.0
+    caps = {n: derive_exchange_capacity(mpl, n, skew)
+            for n in (1, 2, 4, 8, 16, 64, 256)}
+    ndevs = sorted(caps)
+    for a, b in zip(ndevs, ndevs[1:]):
+        assert caps[a] > caps[b], "capacity must shrink with mesh size"
+        # total per-chip buffer stays within one CHUNK-roundup per bucket
+        # of the skew * mpl target — flat, never growing with ndev
+        assert a * caps[a] >= mpl * skew - CHUNK
+        assert b * caps[b] >= mpl * skew - CHUNK
+        assert b * caps[b] <= mpl * skew + b * CHUNK
