@@ -43,6 +43,16 @@ QUEUE = [
 ]
 
 
+# overridable for the wedge-simulation test (tests/test_run_queue.py):
+# the production probe grabs the real TPU, the test substitutes a fast
+# or never-returning command
+PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "print(float((jnp.ones((8,128))+1.0).sum()))"
+)
+POLL_S = 10.0
+
+
 def wait_healthy(log, max_wait_s: float = 1800.0) -> bool:
     """Wait for a trivial TPU dispatch to complete, without killing it.
 
@@ -53,10 +63,7 @@ def wait_healthy(log, max_wait_s: float = 1800.0) -> bool:
     rc 0. Only if the global max_wait_s budget is exhausted is the
     probe killed (once), and the queue aborts anyway at that point.
     """
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "print(float((jnp.ones((8,128))+1.0).sum()))"
-    )
+    code = PROBE_CODE
     t0 = time.time()
     p = subprocess.Popen(
         [sys.executable, "-c", code],
@@ -69,20 +76,20 @@ def wait_healthy(log, max_wait_s: float = 1800.0) -> bool:
             if rc == 0:
                 return True
             # probe crashed (not wedged) — retry with a fresh one
-            log.write(f"probe exited rc={rc}; retrying in 30 s\n")
+            log.write(f"probe exited rc={rc}; retrying in {3 * POLL_S:.0f} s\n")
             log.flush()
-            time.sleep(30)
+            time.sleep(3 * POLL_S)
             p = subprocess.Popen(
                 [sys.executable, "-c", code],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
             continue
-        if time.time() - t0 > 60 and not logged:
-            log.write("probe still running >60 s: device wedged, "
+        if time.time() - t0 > 6 * POLL_S and not logged:
+            log.write("probe still running: device wedged, "
                       "waiting for it to complete (non-killing)\n")
             log.flush()
             logged = True
-        time.sleep(10)
+        time.sleep(POLL_S)
     p.kill()
     return False
 
@@ -93,6 +100,9 @@ def main() -> None:
     ap.add_argument("--stages-file", default=None,
                     help="JSON file: list of [name, argv] stages to run "
                          "instead of the built-in QUEUE")
+    ap.add_argument("--probe-max-wait", type=float, default=1800.0,
+                    help="max seconds to wait for a health probe before "
+                         "aborting the queue (wedge budget)")
     ap.add_argument("--stage-timeout", type=float, default=3600.0,
                     help="per-stage wall limit. Generous on purpose: "
                          "degraded windows compile the 6M frame in "
@@ -110,7 +120,7 @@ def main() -> None:
     with open(args.log, "a") as log:
         log.write(f"\n=== perf queue run {time.strftime('%F %T')} ===\n")
         for name, argv in queue:
-            if not wait_healthy(log):
+            if not wait_healthy(log, args.probe_max_wait):
                 # a dead tunnel stays dead for every remaining stage;
                 # abort the whole queue rather than cycling probes
                 log.write(f"{name}: device never became healthy — "

@@ -34,12 +34,14 @@ from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
 W, H = 1920, 1080
 N = 6_000_000
 REPS = 4
-CFG = RenderConfig(max_pairs=13_000_000, tile=32, tile_cull=True)
-
 s_par = int(sys.argv[1])
 w_par = int(sys.argv[2])
 g_par = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 k_par = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+# optional capacity override for capacity-matched races vs historical
+# kernels (VERDICT r4 item 2)
+MAXP = int(sys.argv[5]) if len(sys.argv) > 5 else 13_000_000
+CFG = RenderConfig(max_pairs=MAXP, tile=32, tile_cull=True)
 
 cam = look_at_camera((3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
                      fov=65.0, width=W, height=H)
@@ -88,5 +90,5 @@ fetch(seq(REPS, 1))
 t0 = time.perf_counter(); fetch(seq(1, 2)); t1 = time.perf_counter() - t0
 t0 = time.perf_counter(); fetch(seq(REPS, 3)); tn = time.perf_counter() - t0
 per = (tn - t1) / (REPS - 1) * 1e3
-print(f"expand[s={s_par},w={w_par},g={g_par},k={k_par}]: {per:.1f} ms  "
+print(f"expand[s={s_par},w={w_par},g={g_par},k={k_par},cap={MAXP}]: {per:.1f} ms  "
       f"(1rep {t1*1e3:.1f}, {REPS}rep {tn*1e3:.1f})", flush=True)
