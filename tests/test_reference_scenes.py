@@ -61,8 +61,17 @@ def _have(ply):
 def test_matches_reference_published_render(ply, golden, world_up):
     if not _have(ply):
         pytest.skip(
-            f"{ply} not present — set LCGS_SCENE_DIR to the directory with "
-            "the reference release scenes to run this validation"
+            f"{ply} not present. CLOSED as environmentally impossible "
+            "(BASELINE.md round 5): the build env has zero egress (DNS "
+            "resolution fails; the GitHub release URLs in reference "
+            "README.md:25-29 are unreachable by construction) and no "
+            "local copy exists. External pixel parity is proxied by (1) "
+            "the strict-parity full-res render with num_rendered "
+            "IDENTICAL on TPU and CPU and max|diff| 0.6/255 "
+            "(docs/proof_r4), (2) golden pins vs the numpy oracle "
+            "(tests/test_golden.py), and (3) exact activation/pose/"
+            "constant parity cited per reference file:line throughout. "
+            "Set LCGS_SCENE_DIR to run this test when the PLYs exist."
         )
     from PIL import Image
 
