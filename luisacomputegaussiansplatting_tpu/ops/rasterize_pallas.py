@@ -146,7 +146,8 @@ def _pixel_coords(tile_idx, grid_x: int, width: int, height: int,
     return ix.astype(jnp.float32), iy.astype(jnp.float32), t0
 
 
-def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
+def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None,
+                 need_report=True):
     """Shared forward math for one chunk.
 
     Args:
@@ -201,13 +202,7 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
     w = jnp.where(applied, t_before * alpha, 0.0)
     # chain over ALL live entries (applied or not): the sticky-done carry
     t_chain = t_in * jnp.exp(s_inc[:, -1:])
-    has_applied = jnp.any(applied, axis=1, keepdims=True)
-    t_last = jnp.min(
-        jnp.where(applied, t_after, jnp.broadcast_to(t_in, t_after.shape)),
-        axis=1,
-        keepdims=True,
-    )
-    return dict(
+    out = dict(
         dx=dx,
         dy=dy,
         g=g,
@@ -217,9 +212,19 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None):
         w=w,
         t_before=t_before,
         t_chain=t_chain,
-        has_applied=has_applied,
-        t_last=t_last,
     )
+    if need_report:
+        # forward-only outputs (the reference's reported T): the backward
+        # replay never reads them — need_report=False skips ~3 VPU
+        # ops/pair including the cross-lane min reduce
+        out["has_applied"] = jnp.any(applied, axis=1, keepdims=True)
+        out["t_last"] = jnp.min(
+            jnp.where(applied, t_after,
+                      jnp.broadcast_to(t_in, t_after.shape)),
+            axis=1,
+            keepdims=True,
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -517,11 +522,20 @@ def _backward_kernel(
         else:
             idx = base + c * CHUNK + lane
             rmask = (idx >= start) & (idx < end)
-        f = _chunk_blend(cur, px, py, t_chain, ut, cfg, rmask)
+        f = _chunk_blend(cur, px, py, t_chain, ut, cfg, rmask,
+                         need_report=False)
         alpha, w, applied = f["alpha"], f["w"], f["applied"]
 
         hi = jax.lax.Precision.HIGHEST
-        b = cur[6:7, :] * g_r + cur[7:8, :] * g_g + cur[8:9, :] * g_b
+        # b[p,k] = dot(rgb_k, G_p): one (pix, 8) @ (8, CHUNK) MXU matmul
+        # instead of ~5 VPU ops/pair. res columns 3..7 (dT, C_final,
+        # T_final) contract against payload rows 9..13, which the
+        # payload builders zero by construction (ops/render.build_payload,
+        # parallel/render_sharded) — their products vanish exactly.
+        b = jax.lax.dot(
+            res, cur[6:6 + 8, :], preferred_element_type=jnp.float32,
+            precision=hi,
+        )
         wb = w * b
         prefix_inc = prefix + _prefix_dot(wb, ut)
         suffix = cg_total - prefix_inc
@@ -556,9 +570,15 @@ def _backward_kernel(
         d_cc = -0.5 * (myl * myl * s0 - 2.0 * myl * sy + syy)
         # sum_p d_alpha * g == sum_p d_pow / op (alpha = op*g where live)
         d_op = jnp.where(op > 0.0, s0 / jnp.where(op > 0.0, op, 1.0), 0.0)
-        d_r = jnp.sum(w * g_r, axis=0, keepdims=True)
-        d_g = jnp.sum(w * g_g, axis=0, keepdims=True)
-        d_b = jnp.sum(w * g_b, axis=0, keepdims=True)
+        # d_rgb[c, k] = sum_p w[p, k] * G[p, c]: contract the pixel axis
+        # of res against w on the MXU (one (8, CHUNK) matmul replaces 3
+        # cross-sublane VPU reductions); rows 3..7 contract the unused
+        # res columns and are discarded
+        drgb = jax.lax.dot_general(
+            res, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # (8, CHUNK)
+        d_r, d_g, d_b = drgb[0:1, :], drgb[1:2, :], drgb[2:3, :]
 
         # wait for the slot's previous output DMA before overwriting
         @pl.when(c >= 2)

@@ -135,15 +135,18 @@ def make_gt_scene(quick=False):
     )
 
 
-def camera_ring(n, height=1.6, radius=4.2, width=DATA_RES, height_px=None):
+def camera_ring(n, height=1.6, radius=4.2, width=DATA_RES, height_px=None,
+                phase=0.0):
     """Cameras on a ring looking at the scene centre, plus their NeRF
-    camera-to-world matrices (OpenGL: x right, y up, z backward)."""
+    camera-to-world matrices (OpenGL: x right, y up, z backward).
+    ``phase`` rotates the ring's azimuths (used to interleave a training
+    ring exactly between the eval azimuths — VERDICT r4 item 5)."""
     from luisacomputegaussiansplatting_tpu.utils.camera import look_at_camera
 
     height_px = height_px or width
     cams, c2ws = [], []
     for i in range(n):
-        a = 2 * np.pi * i / n
+        a = 2 * np.pi * i / n + phase
         pos = np.array([radius * np.cos(a), radius * np.sin(a), height])
         cam = look_at_camera(
             tuple(pos), (0.0, 0.0, 0.5), (0.0, 0.0, 1.0),
@@ -186,7 +189,8 @@ def save_png(img_chw, path):
     Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(path)
 
 
-def stage_gen(root, quick, platform=None, views=None, dres=None):
+def stage_gen(root, quick, platform=None, views=None, dres=None,
+              rig="interp"):
     jax = _jax(platform or ("cpu" if quick else None))
     from luisacomputegaussiansplatting_tpu.config import RenderConfig
     from luisacomputegaussiansplatting_tpu.io.ply import load_ply, save_ply
@@ -213,20 +217,45 @@ def stage_gen(root, quick, platform=None, views=None, dres=None):
         save_png(img, os.path.join(root, f"gt_eval_{i}.png"))
 
     # --- NeRF-blender dataset ------------------------------------------
-    # two rings bracketing the eval ring's height (2.2): a single-ring
-    # rig makes every eval pose an extrapolation and caps held-out PSNR
-    # regardless of trainer quality
+    # rig="bracket" (round 4): two rings bracketing the eval ring's
+    # height (2.2) but NOT its radius (4.6 > both) — eval poses
+    # extrapolate and cap held-out PSNR regardless of trainer quality.
+    # rig="interp" (round 5, default): three rings, the middle one AT
+    # the eval ring's height and radius with its azimuths offset by half
+    # a camera spacing, so every eval pose interpolates its neighbours
+    # in azimuth AND sits inside the rig's height/radius hull — this
+    # isolates trainer quality from rig extrapolation (VERDICT r4 #5).
     dres = dres or (200 if quick else DATA_RES)
     cfg_data = RenderConfig(max_pairs=200_000 if quick else 4_000_000)
     n_views = views or (N_TRAIN if not quick else 6)
-    cams_lo, c2w_lo = camera_ring(
-        -(-n_views // 2), height=1.4, radius=4.2, width=dres
-    )
-    cams_hi, c2w_hi = camera_ring(
-        n_views // 2, height=2.8, radius=4.4, width=dres
-    )
-    cams = cams_lo + cams_hi
-    c2ws = c2w_lo + c2w_hi
+    if rig == "bracket":
+        cams_lo, c2w_lo = camera_ring(
+            -(-n_views // 2), height=1.4, radius=4.2, width=dres
+        )
+        cams_hi, c2w_hi = camera_ring(
+            n_views // 2, height=2.8, radius=4.4, width=dres
+        )
+        cams = cams_lo + cams_hi
+        c2ws = c2w_lo + c2w_hi
+    else:
+        n_mid = n_views // 3
+        n_lo = -(-(n_views - n_mid) // 2)
+        n_hi = n_views - n_mid - n_lo
+        cams_lo, c2w_lo = camera_ring(
+            n_lo, height=1.4, radius=4.2, width=dres
+        )
+        # phase = 0.5 rad: 0.5/pi is irrational, so NO training azimuth
+        # 2*pi*i/n + 0.5 can ever equal an eval azimuth k*pi/2 — eval
+        # poses interpolate mid-ring neighbours without coinciding with
+        # any training pose (which would contaminate the held-out set)
+        cams_mid, c2w_mid = camera_ring(
+            n_mid, height=2.2, radius=4.6, width=dres, phase=0.5,
+        )
+        cams_hi, c2w_hi = camera_ring(
+            n_hi, height=2.8, radius=4.4, width=dres
+        )
+        cams = cams_lo + cams_mid + cams_hi
+        c2ws = c2w_lo + c2w_mid + c2w_hi
     imgs = render_batch(scene, cams, cfg_data)
     frames = []
     for i, (img, c2w) in enumerate(zip(imgs, c2ws)):
@@ -253,6 +282,7 @@ def stage_gen(root, quick, platform=None, views=None, dres=None):
         "dataset_res": dres,
         "eval_res": [res_w, res_h],
         "png_roundtrip_err": pix_err,
+        "rig": rig,
     })
     print("gen ok", file=sys.stderr)
 
@@ -389,6 +419,9 @@ if __name__ == "__main__":
     # per-stage overrides of the quick/full presets (medium CPU configs)
     ap.add_argument("--views", type=int, default=None)
     ap.add_argument("--data-res", type=int, default=None)
+    ap.add_argument("--rig", choices=["interp", "bracket"], default="interp",
+                    help="training-pose rig: interp (r5 default, eval "
+                         "poses inside the hull) or bracket (the r4 rig)")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--capacity", type=int, default=None)
     ap.add_argument("--init-points", type=int, default=None)
@@ -400,7 +433,7 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.stage == "gen":
         stage_gen(a.root, a.quick, a.platform, views=a.views,
-                  dres=a.data_res)
+                  dres=a.data_res, rig=a.rig)
     elif a.stage == "train":
         import shlex
 
