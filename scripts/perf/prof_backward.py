@@ -134,20 +134,25 @@ def stage_fwd_r2():
     stage_fwd(cfg, "_r2cfg")
 
 
-def stage_total(method="ride"):
+def stage_total(method="ride", argnums=(0, 1, 2, 3, 4)):
+    """Full fwd+bwd. argnums matches bench.py (all five params): a
+    means-only grad lets XLA DCE the scale/quat/sh pullbacks and reads
+    ~50 ms lower at 6M — not the number bench reports."""
     import dataclasses
 
     cfg = dataclasses.replace(CFG, grad_reduce_method=method)
 
     def f(salt, m, s, q, o, shc):
-        def loss(mm):
-            img, aux = render_aux(mm, s, q, o, shc, cam,
+        def loss(*params):
+            img, aux = render_aux(*params, cam,
                                   bg_color=jnp.zeros(3) + salt, cfg=cfg)
             return jnp.sum(img)
 
-        return jax.grad(loss)(m)
+        return jax.grad(loss, argnums=argnums)(m, s, q, o, shc)
 
-    timeit(f"total_fwd_bwd[{method}]", f, (means, scales, quats, opac, sh))
+    tag = "" if argnums == (0, 1, 2, 3, 4) else "_meansonly"
+    timeit(f"total_fwd_bwd[{method}]{tag}", f,
+           (means, scales, quats, opac, sh))
 
 
 def stage_rast():
