@@ -59,7 +59,7 @@ CONFIGS = {
         dict(max_pairs=4_500_000, tile=32, pack_mode="none",
              tile_cull=True, max_pairs_sorted=3_900_000,
              grad_reduce_dtype="bf16", payload_dtype="bf16",
-             sort_mode="fused"),
+             sort_mode="fused", blend_quad="mxu"),
         10,
     ),
     # the BASELINE.json north-star scale (~bicycle: 6M gaussians)
@@ -68,7 +68,7 @@ CONFIGS = {
         dict(max_pairs=13_000_000, tile=32, pack_mode="none",
              tile_cull=True, max_pairs_sorted=10_600_000,
              grad_reduce_dtype="bf16", payload_dtype="bf16",
-             sort_mode="fused"),
+             sort_mode="fused", blend_quad="mxu"),
         5,
     ),
 }

@@ -59,6 +59,9 @@ def build_parser():
                         "training default")
     p.add_argument("--payload", choices=["f32", "bf16"], default="f32",
                    help="payload-gather precision (see render_cli --payload)")
+    p.add_argument("--blend", choices=["vpu", "mxu"], default="vpu",
+                   help="blend-kernel quadratic path (see "
+                        "RenderConfig.blend_quad)")
     p.add_argument("--sort", choices=["2key", "fused"], default="2key",
                    help="entry-sort key layout (see render_cli --sort)")
     p.add_argument("--grad-reduce", choices=["ride", "rowgather"],
@@ -266,7 +269,8 @@ def main(argv=None):
                        grad_reduce_method=args.grad_reduce,
                        grad_reduce_dtype=args.grad_reduce_dtype,
                        tight_radius=args.tight_radius,
-                       tile_cull=args.tile_cull)
+                       tile_cull=args.tile_cull,
+                       blend_quad=args.blend)
     scfg = None
     pad_targets_fn = None
     if mesh is not None:

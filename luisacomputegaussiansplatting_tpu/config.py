@@ -174,6 +174,26 @@ class RenderConfig:
     #: values and reduced in f32 (or grad_reduce_dtype).
     payload_dtype: str = "f32"
 
+    #: where the blend kernels evaluate the per-pair conic quadratic
+    #: (power, gs_tile_splatter/shader.cpp:249-256): "vpu"
+    #: (reference-exact elementwise math) or "mxu" (the (pix, 8)
+    #: tile-local pixel polynomial basis [1, x, y, x^2, y^2, xy]
+    #: contracts against per-entry quadratic coefficients on the MXU —
+    #: one matmul replaces ~12 VPU ops/pair in BOTH blend kernels, the
+    #: same basis trick the backward already uses for its moment
+    #: contraction; the forward's colour accumulation rides a second
+    #: matmul). ln(opacity) is folded into the constant coefficient so
+    #: alpha = exp(power'). Tile-local coordinates keep the basis terms
+    #: small (in-tile entries bound ca*mxl^2 by ~2 ln(op/alpha_min), so
+    #: the f32 HIGHEST contraction's |power| error is ~1e-6; global
+    #: coords would cancel catastrophically). The reference's power > 0
+    #: skip becomes power > POWER_GUARD (1e-3): a near-boundary
+    #: contribution is kept (alpha <= op*e^1e-3, still alpha_max-
+    #: clamped) rather than dropped, and alpha_min-threshold flips move
+    #: only contributions below the 1/255 output quantisation.
+    #: Strict-parity configs keep "vpu".
+    blend_quad: str = "vpu"
+
     #: force Pallas interpret mode (automatic on non-TPU backends).
     interpret: bool | None = None
 

@@ -146,8 +146,29 @@ def _pixel_coords(tile_idx, grid_x: int, width: int, height: int,
     return ix.astype(jnp.float32), iy.astype(jnp.float32), t0
 
 
+def _quad_basis(px, py, tx0, ty0, pix):
+    """(pix, 8) TILE-LOCAL pixel polynomial basis [1, x, y, x^2, y^2,
+    xy, 0, 0] for the MXU power contraction. Tile-local coordinates for
+    the same reason as the backward moment basis: global coords make
+    the recombination cancel catastrophically in f32."""
+    xl = px - tx0  # (pix, 1)
+    yl = py - ty0
+    one = jnp.ones((pix, 1), jnp.float32)
+    zero = jnp.zeros((pix, 1), jnp.float32)
+    return jnp.concatenate(
+        [one, xl, yl, xl * xl, yl * yl, xl * yl, zero, zero], axis=1)
+
+
+# blend_quad="mxu" guard band on the reference's power > 0 skip
+# (shader.cpp:257): the MXU-evaluated power carries ~1e-6 absolute
+# contraction error, so near-boundary contributions are KEPT (alpha
+# stays alpha_max-clamped) instead of randomly dropped at the exact
+# splat centre, where power == 0 and alpha == opacity.
+POWER_GUARD = 1e-3
+
+
 def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None,
-                 need_report=True):
+                 need_report=True, quad_basis=None, origin=None):
     """Shared forward math for one chunk.
 
     Args:
@@ -164,6 +185,8 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None,
       range_mask: optional (1, CHUNK) bool; False lanes are neighbour-tile
         entries from an aligned over-read (pack_mode "none") and must not
         contribute.
+      quad_basis/origin: blend_quad="mxu" operands — the per-tile
+        (pix, 8) basis from _quad_basis and the (tx0, ty0) tile origin.
 
     Returns dict of (PIX, CHUNK) / (PIX, 1) intermediates. Carry
     contract for the chunk loops: feed `t_chain` into the next chunk's
@@ -173,21 +196,47 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None,
     is ever applied again (chain < eps and monotone non-increasing), so
     weights computed from the chain are exact for every applied entry.
     """
-    mx = buf[0:1, :]  # (1, CHUNK)
-    my = buf[1:2, :]
-    ca = buf[2:3, :]
+    ca = buf[2:3, :]  # (1, CHUNK)
     cb = buf[3:4, :]
     cc = buf[4:5, :]
     op = buf[5:6, :]
 
-    dx = mx - px  # (PIX, CHUNK)
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    g = jnp.exp(power)
-    alpha_raw = op * g
+    if cfg.blend_quad == "mxu":
+        tx0, ty0 = origin
+        mxl = buf[0:1, :] - tx0  # tile-local means
+        myl = buf[1:2, :] - ty0
+        # clamp keeps padding (op == 0) finite: ln(1e-30) = -69 drives
+        # alpha to 0 without feeding the MXU a -inf (whose bf16 split
+        # would poison the contraction with NaNs)
+        ln_op = jnp.log(jnp.maximum(op, 1e-30))
+        # power'(p, k) = power(p, k) + ln op_k, expanded over the
+        # tile-local basis (dx = mxl - x, dy = myl - y): ~10 VPU ops
+        # per ENTRY here vs ~12 per PAIR on the vpu path
+        a0 = (-0.5 * (ca * mxl * mxl + cc * myl * myl)
+              - cb * mxl * myl + ln_op)
+        bx = ca * mxl + cb * myl
+        by = cc * myl + cb * mxl
+        zr = jnp.zeros_like(ca)
+        coeffs = jnp.concatenate(
+            [a0, bx, by, -0.5 * ca, -0.5 * cc, -cb, zr, zr], axis=0)
+        powerp = jax.lax.dot(
+            quad_basis, coeffs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (PIX, CHUNK)
+        alpha_raw = jnp.exp(powerp)
+        # power <= POWER_GUARD  <=>  power' <= ln_op + POWER_GUARD
+        pow_ok = powerp <= ln_op + POWER_GUARD
+    else:
+        mx = buf[0:1, :]
+        my = buf[1:2, :]
+        dx = mx - px  # (PIX, CHUNK)
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha_raw = op * jnp.exp(power)
+        pow_ok = power <= 0.0
+
     clamped = alpha_raw > cfg.alpha_max
     alpha = jnp.minimum(alpha_raw, cfg.alpha_max)
-    live = (power <= 0.0) & (alpha >= cfg.alpha_min)
+    live = pow_ok & (alpha >= cfg.alpha_min)
     if range_mask is not None:
         live = live & range_mask
     alpha = jnp.where(live, alpha, 0.0)
@@ -200,12 +249,10 @@ def _chunk_blend(buf, px, py, t_in, ut, cfg: RenderConfig, range_mask=None,
     t_before = t_after / (1.0 - alpha)
     applied = (t_after >= cfg.transmittance_eps) & (alpha > 0.0)
     w = jnp.where(applied, t_before * alpha, 0.0)
-    # chain over ALL live entries (applied or not): the sticky-done carry
-    t_chain = t_in * jnp.exp(s_inc[:, -1:])
+    # chain over ALL live entries (applied or not): the sticky-done
+    # carry — the last t_after column, bit-exact (same exp, same mul)
+    t_chain = t_after[:, -1:]
     out = dict(
-        dx=dx,
-        dy=dy,
-        g=g,
         alpha=alpha,
         clamped=clamped,
         applied=applied,
@@ -257,6 +304,12 @@ def _forward_kernel(
     px, py, t0 = _pixel_coords(offset_ref[0] + tile, grid_x, width, height, tw, th)
     ut = _upper_triangular()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    if cfg.blend_quad == "mxu":
+        tx0 = (((offset_ref[0] + tile) % grid_x) * tw).astype(jnp.float32)
+        ty0 = (((offset_ref[0] + tile) // grid_x) * th).astype(jnp.float32)
+        qb, org = _quad_basis(px, py, tx0, ty0, pix), (tx0, ty0)
+    else:
+        qb, org = None, None
 
     def chunk_dma(c):
         slot = jax.lax.rem(c, 2)
@@ -294,11 +347,26 @@ def _forward_kernel(
         else:
             idx = base + c * CHUNK + lane
             rmask = (idx >= start) & (idx < end)
-        f = _chunk_blend(cur, px, py, t_chain, ut, cfg, rmask)
+        f = _chunk_blend(cur, px, py, t_chain, ut, cfg, rmask,
+                         quad_basis=qb, origin=org)
         w = f["w"]
-        cr = cr + jnp.sum(w * cur[6:7, :], axis=1, keepdims=True)
-        cg = cg + jnp.sum(w * cur[7:8, :], axis=1, keepdims=True)
-        cb = cb + jnp.sum(w * cur[8:9, :], axis=1, keepdims=True)
+        if cfg.blend_quad == "mxu":
+            # one (PIX, CHUNK) x (8, CHUNK)^T MXU contraction: cols 0..2
+            # are sum_k w * rgb_k (payload rows 9..13 are zero by
+            # construction, so cols 3..7 vanish — same invariant as the
+            # backward's b matmul)
+            acc = jax.lax.dot_general(
+                w, cur[6:6 + 8, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            cr = cr + acc[:, 0:1]
+            cg = cg + acc[:, 1:2]
+            cb = cb + acc[:, 2:3]
+        else:
+            cr = cr + jnp.sum(w * cur[6:7, :], axis=1, keepdims=True)
+            cg = cg + jnp.sum(w * cur[7:8, :], axis=1, keepdims=True)
+            cb = cb + jnp.sum(w * cur[8:9, :], axis=1, keepdims=True)
         # carry split (see _chunk_blend): chain gates, last-applied reports
         t_out = jnp.where(f["has_applied"], f["t_last"], t_out)
         t_chain = f["t_chain"]
@@ -439,6 +507,10 @@ def _backward_kernel(
          pyl_t * pyl_t, pxl_t * pyl_t, zrow, zrow],
         axis=0,
     )  # (8, pix)
+    if cfg.blend_quad == "mxu":
+        qb, org = _quad_basis(px, py, tx0, ty0, pix), (tx0, ty0)
+    else:
+        qb, org = None, None
 
     def in_dma(c):
         slot = jax.lax.rem(c, 2)
@@ -523,7 +595,7 @@ def _backward_kernel(
             idx = base + c * CHUNK + lane
             rmask = (idx >= start) & (idx < end)
         f = _chunk_blend(cur, px, py, t_chain, ut, cfg, rmask,
-                         need_report=False)
+                         need_report=False, quad_basis=qb, origin=org)
         alpha, w, applied = f["alpha"], f["w"], f["applied"]
 
         hi = jax.lax.Precision.HIGHEST

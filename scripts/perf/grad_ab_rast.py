@@ -48,8 +48,9 @@ if len(sys.argv) > 2:
     W, H = (int(v) for v in sys.argv[2].split("x"))
 else:
     W, H = 800, 600
+BLEND = sys.argv[3] if len(sys.argv) > 3 else "vpu"
 CFG = RenderConfig(max_pairs=2_000_000, tile=32, pack_mode="none",
-                   tile_cull=True, sort_mode="fused")
+                   tile_cull=True, sort_mode="fused", blend_quad=BLEND)
 
 cam = look_at_camera((3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
                      fov=65.0, width=W, height=H)

@@ -226,6 +226,13 @@ def stage_params():
 
 
 if __name__ == "__main__":
+    if "mxu" in sys.argv[2:]:
+        # blend_quad="mxu" re-measure (round 5); stages read the module
+        # CFG at call time, so the swap applies to every stage
+        import dataclasses
+
+        CFG = dataclasses.replace(CFG, blend_quad="mxu")
+        sys.argv = [a for a in sys.argv if a != "mxu"]
     st = sys.argv[1]
     if st == "reduce":
         stage_reduce(sys.argv[2] if len(sys.argv) > 2 else "ride")

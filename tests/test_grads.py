@@ -191,3 +191,25 @@ def test_backward_early_exit_on_saturated_tile():
         assert np.isfinite(a).all()
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+
+
+def test_blend_quad_mxu_grads_match_vpu():
+    """blend_quad='mxu' (conic quadratic + colour accumulation on the
+    MXU, ln-opacity folding, POWER_GUARD skip band) must reproduce the
+    vpu-path gradients to contraction-rounding noise. The two paths
+    share everything downstream of alpha, so any structural error in
+    the coefficient expansion shows as O(1) here."""
+    import dataclasses
+
+    args = scene_arrays()
+    bg = jnp.array([0.25, 0.5, 0.75], jnp.float32)
+    cfg_m = dataclasses.replace(CFG_PALLAS, blend_quad="mxu")
+    g_vpu = jax.grad(loss_fn(CFG_PALLAS), argnums=(0, 1, 2, 3, 4))(*args, bg)
+    g_mxu = jax.grad(loss_fn(cfg_m), argnums=(0, 1, 2, 3, 4))(*args, bg)
+    for name, a, b in zip(["means", "scales", "quats", "opac", "sh"],
+                          g_mxu, g_vpu):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                   err_msg=name)

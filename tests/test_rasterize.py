@@ -364,3 +364,23 @@ def test_saturation_latch_sticky_across_chunks():
     np.testing.assert_allclose(
         np.asarray(g_p[:9]), np.asarray(g_r[:9]), atol=5e-4
     )
+
+
+@pytest.mark.parametrize("tile,pack", [(16, "chunk"), (32, "none")])
+def test_blend_quad_mxu_matches_vpu(small_case, tile, pack):
+    """blend_quad='mxu' must agree with the reference-exact vpu path to
+    far below the 1/255 output quantum in both tile/pack modes (the MXU
+    power contraction reassociates the quadratic; POWER_GUARD keeps the
+    skip-band flips on the include side)."""
+    import dataclasses
+
+    scene, cam, _ = small_case
+    cfg_v = RenderConfig(max_pairs=40_000, tile=tile, pack_mode=pack)
+    cfg_m = dataclasses.replace(cfg_v, blend_quad="mxu")
+    img_v, aux_v = render_aux(*scene.render_args(), cam,
+                              bg_color=(0.2, 0.3, 0.4), cfg=cfg_v)
+    img_m, aux_m = render_aux(*scene.render_args(), cam,
+                              bg_color=(0.2, 0.3, 0.4), cfg=cfg_m)
+    assert float(np.abs(np.asarray(img_v) - np.asarray(img_m)).max()) < 5e-4
+    np.testing.assert_array_equal(np.asarray(aux_v.num_rendered),
+                                  np.asarray(aux_m.num_rendered))

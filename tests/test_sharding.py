@@ -534,3 +534,27 @@ def test_exchange_capacity_scales_with_mesh_size():
         assert a * caps[a] >= mpl * skew - CHUNK
         assert b * caps[b] >= mpl * skew - CHUNK
         assert b * caps[b] <= mpl * skew + b * CHUNK
+
+
+def test_sharded_blend_quad_mxu_matches_single(scene):
+    """blend_quad='mxu' flows through render_sharded untouched (the
+    sharded band rasterizer calls the same kernels): sharded-mxu must
+    match single-chip-mxu exactly, and single-chip-vpu to contraction
+    noise."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        RenderConfig(max_pairs=20_000, tile=32, pack_mode="none"),
+        blend_quad="mxu")
+    mesh = make_mesh((8,), ("gs",))
+    bg = jnp.zeros((3,), jnp.float32)
+    img_s, aux = render_sharded(*scene.render_args(), CAM, mesh, cfg=cfg,
+                                scfg=SCFG, bg_color=bg)
+    assert not bool(aux.overflow)
+    img_m = render(*scene.render_args(), CAM, bg_color=bg, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_m),
+                               atol=2e-5)
+    img_v = render(*scene.render_args(), CAM, bg_color=bg,
+                   cfg=dataclasses.replace(cfg, blend_quad="vpu"))
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_v),
+                               atol=5e-4)
