@@ -388,8 +388,15 @@ def stage_parity(root, quick, platform=None):
         print(r.stdout + r.stderr[-500:], file=sys.stderr)
         assert r.returncode == 0, f"render_cli failed on {plat}"
         fps = [ln for ln in r.stdout.splitlines() if "fps:" in ln]
-        outs[plat or "dev"] = {"raw": raw, "fps_line": fps[-1] if fps else ""}
-    data = {"ply": ply, "res": res, **{k: v["fps_line"] for k, v in outs.items()}}
+        # rep_ms = per-frame BLOCKED timing — the honest frame time on
+        # the axon tunnel, where the aggregate loop can be dominated by
+        # argument transfer (round-4's 0.01-fps artifact, BASELINE.md)
+        reps = [ln for ln in r.stdout.splitlines() if ln.startswith("rep_ms:")]
+        outs[plat or "dev"] = {"raw": raw, "fps_line": fps[-1] if fps else "",
+                               "rep_ms": reps[-1] if reps else ""}
+    data = {"ply": ply, "res": res,
+            **{k: v["fps_line"] for k, v in outs.items()},
+            **{f"{k}_rep_ms": v["rep_ms"] for k, v in outs.items()}}
     if len(outs) == 2:
         a = np.load(outs["dev"]["raw"])
         b = np.load(outs["cpu"]["raw"])
