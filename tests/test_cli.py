@@ -69,3 +69,22 @@ def test_train_cli_grows_capacity_on_overflow(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "[overflow] raising max_pairs to 512" in err
     assert (tmp_path / "syntheticgt300_trained.ply").exists()
+
+
+def test_render_cli_blend_mxu_matches_vpu(tmp_path):
+    """--blend mxu must plumb through to the kernels and stay within
+    contraction noise of the default vpu path at the CLI level."""
+    from luisacomputegaussiansplatting_tpu.apps.render_cli import main
+
+    raws = {}
+    for mode in ("vpu", "mxu"):
+        raw = str(tmp_path / f"{mode}.npy")
+        rc = main([
+            "--synthetic", "2000", "--res", "96x64", "--exp_N", "1",
+            "--max-pairs", "50000", "--tile", "32", "--pack", "none",
+            "--blend", mode, "--save-raw", raw, "--out", str(tmp_path),
+        ])
+        assert rc == 0
+        raws[mode] = np.load(raw)
+    d = float(np.abs(raws["vpu"] - raws["mxu"]).max())
+    assert 0 < d < 5e-4, d  # differs (paths distinct) but sub-1/255
