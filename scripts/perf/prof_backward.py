@@ -122,6 +122,11 @@ def stage_fwd(cfg=None, tag=""):
         return img
 
     timeit(f"fwd{tag}", f, (means, scales, quats, opac, sh))
+    # capacity sanity (round-4 lesson: a truncated entry stream measures
+    # a cheaper frame and silently flatters every number)
+    _p, _c, binned = precompute()
+    print(f"fwd{tag}: overflow={bool(np.asarray(binned.overflow))}",
+          flush=True)
 
 
 def stage_fwd_r2():
@@ -226,6 +231,17 @@ def stage_params():
 
 
 if __name__ == "__main__":
+    if "rect16" in sys.argv[2:]:
+        # 32x16 rect-tile variant (RenderConfig.tile_h note): fewer
+        # pixels blended per entry at more entries — re-raced under
+        # mxu. Halving tile height grows the AABB entry count ~1.5x,
+        # so capacities scale up with it (a truncated stream would
+        # silently flatter the numbers — round-4 lesson).
+        import dataclasses
+
+        CFG = dataclasses.replace(CFG, tile_h=16, max_pairs=20_000_000,
+                                  max_pairs_sorted=16_000_000)
+        sys.argv = [a for a in sys.argv if a != "rect16"]
     if "mxu" in sys.argv[2:]:
         # blend_quad="mxu" re-measure (round 5); stages read the module
         # CFG at call time, so the swap applies to every stage
