@@ -39,6 +39,12 @@ cam = look_at_camera((3.5, -3.0, 2.2), (0.0, 0.0, 0.0), (0.0, 0.0, 1.0),
 scene = random_scene(N, seed=0, extent=3.0, scale_range=(0.004, 0.02))
 means, scales, quats, opac, sh = scene.render_args()
 mode = sys.argv[1]
+if "mxu" in sys.argv[2:]:
+    # round-5: cover Mosaic-lowered mxu blend kernels INSIDE shard_map
+    # on real silicon (the CPU tests only prove interpret semantics)
+    import dataclasses
+
+    CFG = dataclasses.replace(CFG, blend_quad="mxu")
 
 # big arrays are explicit jit arguments: closed-over device arrays embed
 # as HLO constants and the tunnel's remote_compile 413s on the body size
